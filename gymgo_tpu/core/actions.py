@@ -1,0 +1,75 @@
+"""Action-space utilities: move masks, children expansion, action sampling.
+
+Parity targets: /root/reference/gym_go/gogame.py:153-186 (masks, children)
+and :385-404 (random policies; reimplemented on ``jax.random`` for the
+on-device path — host-side numpy parity sampling lives in the adapters).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gymgo_tpu import govars
+from gymgo_tpu.core.step import step_states
+
+__all__ = [
+    "batch_invalid_moves",
+    "batch_valid_moves",
+    "children",
+    "uniform_random_actions",
+    "weighted_random_actions",
+]
+
+
+def batch_invalid_moves(states: jax.Array) -> jax.Array:
+    """Flat invalid-move vectors ``(B, N*N+1)``; pass (last column) always 0.
+
+    Matches the reference *batch* accessor (gogame.py:164-168), which has no
+    game-ended branch; the single-state quirk (all-moves-valid once the game
+    is over, gogame.py:155-156) is reproduced by ``ended_all_valid=True``
+    callers in the facade layer.
+    """
+    b = states.shape[0]
+    flat = states[:, govars.INVD_CHNL].reshape(b, -1).astype(jnp.float32)
+    return jnp.concatenate([flat, jnp.zeros((b, 1), jnp.float32)], axis=1)
+
+
+def batch_valid_moves(states: jax.Array) -> jax.Array:
+    return 1.0 - batch_invalid_moves(states)
+
+
+def children(state: jax.Array, canonical: bool = False) -> jax.Array:
+    """One-ply expansion of a single state: ``(N*N+1, 6, N, N)``.
+
+    Row a holds next_state(state, a) for valid a, and zeros for invalid a —
+    the reference's ``padded=True`` layout (gogame.py:175-186), which is the
+    only shape expressible under jit; unpadded filtering happens host-side.
+    """
+    from gymgo_tpu.core.transform import batch_canonical_form
+
+    n = state.shape[-1]
+    num_actions = n * n + 1
+    tiled = jnp.broadcast_to(state[None], (num_actions,) + state.shape)
+    actions = jnp.arange(num_actions, dtype=jnp.int32)
+    stepped, info = step_states(tiled, actions)
+    if canonical:
+        stepped = batch_canonical_form(stepped)
+    ended = state[govars.DONE_CHNL, 0, 0] != 0
+    valid = ~info.invalid_action | ended  # gogame.py:155-156: all valid once done
+    return jnp.where(valid[:, None, None, None], stepped, 0).astype(state.dtype)
+
+
+def uniform_random_actions(key: jax.Array, states: jax.Array) -> jax.Array:
+    """Uniform draw over each env's valid actions (pass included) — the
+    batched, on-device analog of go_env.py:78-81."""
+    valid = batch_valid_moves(states) > 0
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def weighted_random_actions(key: jax.Array, weights: jax.Array) -> jax.Array:
+    """Sample actions proportional to non-negative ``weights`` (B, N*N+1);
+    invalid moves are assumed to carry weight 0 (gogame.py:385-392)."""
+    logits = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

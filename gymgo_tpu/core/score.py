@@ -1,0 +1,66 @@
+"""On-device scoring: Trump-Taylor areas, winner sign, liberty queries.
+
+Mirrors /root/reference/gym_go/gogame.py:225-310 (areas / winning) and
+:253-272 (liberties), replacing the per-empty-region label loop with one
+two-bit OR-flood: every cell of an empty region learns whether the region
+touches black and/or white; a region counts for a color iff it touches only
+that color — exactly the reference's dilate-and-claim test.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gymgo_tpu import govars
+from gymgo_tpu.core.flood import flood_or, neighbor_or
+
+__all__ = ["areas", "winning", "liberties", "num_liberties"]
+
+
+def areas(states: jax.Array):
+    """Batched Trump-Taylor area score.  Returns (black_area, white_area) int32 (B,)."""
+    b = states.shape[0]
+    black = states[:, govars.BLACK].astype(jnp.bool_)
+    white = states[:, govars.WHITE].astype(jnp.bool_)
+    empty = ~(black | white)
+
+    touch = jnp.where(empty & neighbor_or(black), jnp.uint8(1), jnp.uint8(0))
+    touch = touch | jnp.where(empty & neighbor_or(white), jnp.uint8(2), jnp.uint8(0))
+    touch = flood_or(touch, empty)
+    only_black = empty & (touch == 1)
+    only_white = empty & (touch == 2)
+
+    black_area = jnp.sum((black | only_black).reshape(b, -1), axis=1, dtype=jnp.int32)
+    white_area = jnp.sum((white | only_white).reshape(b, -1), axis=1, dtype=jnp.int32)
+    return black_area, white_area
+
+
+def winning(states: jax.Array, komi: float = 0.0):
+    """sign(black_area - white_area - komi) per env, from black's perspective
+    (gogame.py:225-230); valid mid-game as well as at game end."""
+    black_area, white_area = areas(states)
+    diff = black_area.astype(jnp.float32) - white_area.astype(jnp.float32) - komi
+    return jnp.sign(diff)
+
+
+def liberties(states: jax.Array):
+    """Per-color aggregate liberty masks (empty cells adjacent to that color).
+
+    Note this is the reference's per-color — not per-group — definition
+    (gogame.py:253-264): a point adjacent to both colors counts for both.
+    """
+    black = states[:, govars.BLACK].astype(jnp.bool_)
+    white = states[:, govars.WHITE].astype(jnp.bool_)
+    empty = ~(black | white)
+    return empty & neighbor_or(black), empty & neighbor_or(white)
+
+
+def num_liberties(states: jax.Array):
+    """Popcounts of the per-color liberty masks (gogame.py:267-272)."""
+    b = states.shape[0]
+    black_libs, white_libs = liberties(states)
+    return (
+        jnp.sum(black_libs.reshape(b, -1), axis=1, dtype=jnp.int32),
+        jnp.sum(white_libs.reshape(b, -1), axis=1, dtype=jnp.int32),
+    )

@@ -1,0 +1,214 @@
+"""The batched Go state-transition kernel — one fused, jittable step.
+
+Semantics follow the reference's *single-state* path ``gogame.next_state``
+(/root/reference/gym_go/gogame.py:34-87) exactly, vectorized over a leading
+batch dim with zero Python in the loop:
+
+  * pass bookkeeping and double-pass game end        (gogame.py:48-53)
+  * stone placement                                  (gogame.py:62)
+  * capture resolution                               (state_utils.py:159-180)
+  * simple-ko detection                              (gogame.py:65-75,
+                                                      state_utils.py:214-223)
+  * invalid-move mask incl. suicide rule             (state_utils.py:24-83)
+  * turn flip                                        (state_utils.py:235-241)
+
+The reference's batch path has a known capture-misalignment bug when passes
+and captures mix in one batch (batch_update_pieces zips full-batch arrays
+against non-pass-indexed ones, state_utils.py:183-211); this engine
+deliberately applies per-env single-state semantics instead.
+
+Where the reference raises on bad input (invalid move: gogame.py:59; stepping
+a finished game: go_env.py:54), raising is impossible under ``jit``; the env
+in question is left unchanged ("frozen") and flagged in ``StepInfo`` so
+host-side adapters can raise with identical observable behavior.
+
+Label-free algorithm notes
+--------------------------
+Captures: after placement, an opponent stone survives iff its 4-connected
+group contains a stone adjacent to an empty cell — an OR-flood
+(`flood_or`).  Only groups adjacent to the new stone can be captured (every
+group had a liberty before the move), so flooding the whole board is
+equivalent to the reference's adjacent-group loop.
+
+Invalid mask: the reference's per-group liberty *counts* are only ever
+compared against 1 (state_utils.py:70-74).  A stone's group has 0 / exactly 1
+/ >=2 distinct liberty cells iff the (min, max) flat index over the group's
+adjacent empty cells satisfies mn==BIG / mn==mx<BIG / mn<mx; (min, max)
+propagate within same-color components (`flood_min_max_two_colors`).  Then,
+for an empty point p (next player to move):
+
+  possible(p) = p adjacent to a mover group with >=2 liberties
+                or to a next-player group in atari (p is then its sole liberty)
+  definite(p) = p adjacent to a mover group in atari (p captures it)
+                or to a next-player group with >=2 liberties
+  invalid     = occupied | (possible & ~definite & fully-surrounded) | ko
+
+which is the booleanization of state_utils.py:70-82 (only the >0 / ==0 tests
+of the accumulated sums matter there), hence bit-exact.
+
+Ko: exactly one stone captured implies exactly one single-stone group
+captured, so the reference's (one group) and (one stone) tests collapse to
+``captured_count == 1``; combined with the surrounded-pre-capture probe it
+reproduces gogame.py:72-75.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gymgo_tpu import govars
+from gymgo_tpu.core.flood import (
+    flood_or,
+    flood_min_max_two_colors,
+    neighbor_count_edge1,
+    neighbor_or,
+    shift,
+)
+
+__all__ = ["StepInfo", "step_states", "invalid_action_flags"]
+
+
+class StepInfo(NamedTuple):
+    """Per-env diagnostics emitted by ``step_states``."""
+
+    invalid_action: jax.Array  # bool (B,): move hit INVD_CHNL or out of range
+    was_done: jax.Array  # bool (B,): env was already finished at entry
+    num_captured: jax.Array  # int32 (B,): opponent stones removed this step
+
+
+def invalid_action_flags(states, actions):
+    """bool (B,): action is out of range, or a board move into INVD_CHNL."""
+    n = states.shape[-1]
+    pass_idx = n * n
+    actions = actions.astype(jnp.int32)
+    oob = (actions < 0) | (actions > pass_idx)
+    is_pass = actions == pass_idx
+    flat_invd = states[:, govars.INVD_CHNL].reshape(states.shape[0], -1)
+    board_idx = jnp.clip(actions, 0, pass_idx - 1)
+    hit = jnp.take_along_axis(flat_invd, board_idx[:, None], axis=1)[:, 0] != 0
+    return oob | (~is_pass & hit)
+
+
+def step_states(states: jax.Array, actions: jax.Array):
+    """Apply one move per env.  ``states`` int8 (B,6,N,N), ``actions`` (B,).
+
+    Actions are flat ints in [0, N*N]; N*N means pass.  Returns
+    ``(new_states, StepInfo)``.  Envs that are already done, or whose action
+    is invalid, pass through unchanged and are flagged.
+    """
+    b, _, n, _ = states.shape
+    pass_idx = n * n
+    big = jnp.int32(pass_idx)
+
+    black = states[:, govars.BLACK].astype(jnp.bool_)
+    white = states[:, govars.WHITE].astype(jnp.bool_)
+    white_to_move = states[:, govars.TURN_CHNL, 0, 0].astype(jnp.bool_)
+    prev_passed = states[:, govars.PASS_CHNL, 0, 0].astype(jnp.bool_)
+    done = states[:, govars.DONE_CHNL, 0, 0].astype(jnp.bool_)
+
+    actions = actions.astype(jnp.int32)
+    is_pass = actions == pass_idx
+    invalid_action = invalid_action_flags(states, actions)
+    board_idx = jnp.clip(actions, 0, pass_idx - 1)
+    row = board_idx // n
+    col = board_idx % n
+
+    # Mover / opponent planes (per-env select on the turn bit).
+    wtm = white_to_move[:, None, None]
+    mover = jnp.where(wtm, white, black)
+    opp = jnp.where(wtm, black, white)
+
+    # Place the stone (no-op for pass envs).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
+    place = (
+        (rows == row[:, None, None])
+        & (cols == col[:, None, None])
+        & ~is_pass[:, None, None]
+    )
+    mover = mover | place
+
+    # Ko probe: all in-bounds neighbors of the move hold opponent stones,
+    # evaluated pre-capture with board edges counting as satisfied
+    # (state_utils.py:214-223 keeps only in-bounds neighbors).
+    t = jnp.ones((), jnp.bool_)
+    surrounded_map = (
+        shift(opp, 1, 0, t) & shift(opp, -1, 0, t) & shift(opp, 0, 1, t) & shift(opp, 0, -1, t)
+    )
+    surrounded_pre = (
+        jnp.take_along_axis(
+            surrounded_map.reshape(b, -1), board_idx[:, None], axis=1
+        )[:, 0]
+        & ~is_pass
+    )
+
+    # Capture resolution: opponent stones whose group has no liberty die.
+    empty_after_place = ~(mover | opp)
+    has_lib = flood_or(opp & neighbor_or(empty_after_place), opp)
+    killed = opp & ~has_lib & ~is_pass[:, None, None]
+    opp = opp & ~killed
+    num_captured = jnp.sum(killed.reshape(b, -1), axis=1, dtype=jnp.int32)
+
+    # Simple ko: exactly one stone captured and the move was surrounded.
+    ko_active = (num_captured == 1) & surrounded_pre
+    ko_flat = jnp.argmax(killed.reshape(b, -1), axis=1)
+
+    # Invalid-move mask for the next player, on the post-capture board.
+    all_pieces = mover | opp
+    empty = ~all_pieces
+    cell_idx = rows * n + cols
+    empty_idx = jnp.where(empty, cell_idx, big)
+    empty_idx_neg = jnp.where(empty, cell_idx, jnp.int32(-1))
+    seed_min = jnp.minimum(
+        jnp.minimum(shift(empty_idx, 1, 0, big), shift(empty_idx, -1, 0, big)),
+        jnp.minimum(shift(empty_idx, 0, 1, big), shift(empty_idx, 0, -1, big)),
+    )
+    seed_max = jnp.maximum(
+        jnp.maximum(shift(empty_idx_neg, 1, 0, -1), shift(empty_idx_neg, -1, 0, -1)),
+        jnp.maximum(shift(empty_idx_neg, 0, 1, -1), shift(empty_idx_neg, 0, -1, -1)),
+    )
+    mn, mx = flood_min_max_two_colors(seed_min, seed_max, mover, opp, pass_idx)
+
+    has_liberty = mn < big
+    one_lib = has_liberty & (mn == mx)
+    multi_lib = mn < mx
+    atari_mover = mover & one_lib
+    multi_mover = mover & multi_lib
+    atari_opp = opp & one_lib
+    multi_opp = opp & multi_lib
+
+    possible = empty & (neighbor_or(multi_mover) | neighbor_or(atari_opp))
+    definite = neighbor_or(atari_mover) | neighbor_or(multi_opp)
+    surrounded_cells = neighbor_count_edge1(all_pieces) == 4
+    invd = all_pieces | (possible & ~definite & surrounded_cells)
+    ko_point = (cell_idx == ko_flat[:, None, None]) & ko_active[:, None, None]
+    invd = invd | ko_point
+
+    # Reassemble the 6 channels.
+    new_black = jnp.where(wtm, opp, mover)
+    new_white = jnp.where(wtm, mover, opp)
+    new_done = done | (prev_passed & is_pass)
+    plane = lambda v: jnp.broadcast_to(v[:, None, None], (b, n, n))
+    new_states = jnp.stack(
+        [
+            new_black,
+            new_white,
+            plane(~white_to_move),
+            invd,
+            plane(is_pass),
+            plane(new_done),
+        ],
+        axis=1,
+    ).astype(states.dtype)
+
+    frozen = (done | invalid_action)[:, None, None, None]
+    new_states = jnp.where(frozen, states, new_states)
+    info = StepInfo(
+        invalid_action=invalid_action,
+        was_done=done,
+        num_captured=jnp.where(done | invalid_action, 0, num_captured),
+    )
+    return new_states, info

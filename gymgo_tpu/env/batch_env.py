@@ -1,0 +1,166 @@
+"""The batched, jitted product API: thousands of Go games in lockstep.
+
+This is the TPU-native replacement for the reference's ``batch_*`` numpy path
+(/root/reference/gym_go/gogame.py:90-150): one fused XLA program per step,
+auto-reset semantics for continuous rollouts, and ``lax.scan`` trajectory
+collection with zero Python in the loop.  States are plain ``jnp`` arrays, so
+the env composes freely with ``jax.sharding`` (see gymgo_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gymgo_tpu import govars
+from gymgo_tpu.config import EnvConfig, HEURISTIC, REAL
+from gymgo_tpu.core import actions as _actions
+from gymgo_tpu.core import score as _score
+from gymgo_tpu.core import state as _state
+from gymgo_tpu.core import step as _step
+
+
+class StepResult(NamedTuple):
+    """Outputs of one batched step (all leading dim B)."""
+
+    obs: jax.Array  # int8 (B, 6, N, N): post-step states
+    reward: jax.Array  # float32 (B,): REAL/HEURISTIC reward, black's view
+    done: jax.Array  # bool (B,): game over after this step
+    invalid_action: jax.Array  # bool (B,): action was rejected (env frozen)
+    num_captured: jax.Array  # int32 (B,): stones captured by this step
+
+
+def reward_fn(states: jax.Array, done: jax.Array, config: EnvConfig) -> jax.Array:
+    """Reward of the post-step state, mirroring go_env.py:128-149."""
+    n = config.board_size
+    if config.reward_method == REAL:
+        def scored(s):
+            return jnp.where(done, _score.winning(s, config.komi), 0.0)
+
+        # Areas are only needed once a game actually ends.
+        return lax.cond(
+            jnp.any(done),
+            scored,
+            lambda s: jnp.zeros(s.shape[0], jnp.float32),
+            states,
+        )
+    if config.reward_method == HEURISTIC:
+        black_area, white_area = _score.areas(states)
+        kc = black_area.astype(jnp.float32) - white_area.astype(jnp.float32) - config.komi
+        end_reward = jnp.where(kc > 0, 1.0, -1.0) * (n * n)
+        return jnp.where(done, end_reward, kc)
+    raise ValueError(config.reward_method)
+
+
+def batch_step(
+    states: jax.Array, actions: jax.Array, config: EnvConfig
+) -> tuple[jax.Array, StepResult]:
+    """Pure batched transition: auto-reset (optional) -> move -> reward."""
+    if config.auto_reset:
+        done_pre = _state.game_ended(states)
+        states = jnp.where(
+            done_pre[:, None, None, None],
+            jnp.zeros_like(states),
+            states,
+        )
+    new_states, info = _step.step_states(states, actions)
+    done = _state.game_ended(new_states)
+    reward = reward_fn(new_states, done, config)
+    return new_states, StepResult(
+        obs=new_states,
+        reward=reward,
+        done=done,
+        invalid_action=info.invalid_action,
+        num_captured=info.num_captured,
+    )
+
+
+class Rollout(NamedTuple):
+    """A scanned trajectory (leading dim T = num_steps)."""
+
+    actions: jax.Array  # int32 (T, B)
+    rewards: jax.Array  # float32 (T, B)
+    dones: jax.Array  # bool (T, B)
+    final_states: jax.Array  # int8 (B, 6, N, N)
+    obs: Optional[jax.Array] = None  # int8 (T, B, 6, N, N) when collected
+
+
+def rollout(
+    key: jax.Array,
+    states: jax.Array,
+    num_steps: int,
+    config: EnvConfig,
+    policy_fn: Optional[Callable] = None,
+    collect_obs: bool = False,
+) -> Rollout:
+    """Roll ``num_steps`` lockstep moves with ``lax.scan``.
+
+    ``policy_fn(key, states) -> actions`` defaults to uniform-random over
+    valid moves.  With ``config.auto_reset`` finished games restart in place,
+    making this the continuous self-play driver.
+    """
+    if policy_fn is None:
+        policy_fn = _actions.uniform_random_actions
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        acts = policy_fn(sub, st)
+        st, res = batch_step(st, acts, config)
+        out = (acts, res.reward, res.done) + ((res.obs,) if collect_obs else ())
+        return (st, k), out
+
+    (final_states, _), outs = lax.scan(body, (states, key), None, length=num_steps)
+    actions, rewards, dones = outs[:3]
+    obs = outs[3] if collect_obs else None
+    return Rollout(
+        actions=actions,
+        rewards=rewards,
+        dones=dones,
+        final_states=final_states,
+        obs=obs,
+    )
+
+
+class BatchGoEnv:
+    """Convenience stateful wrapper around the pure ``batch_step``.
+
+    Keeps compiled step/rollout callables per config; states stay on device.
+    """
+
+    def __init__(self, config: EnvConfig):
+        self.config = config
+        self._step = jax.jit(
+            functools.partial(batch_step, config=config), donate_argnums=(0,)
+        )
+        self._rollout = jax.jit(
+            functools.partial(rollout, config=config),
+            static_argnames=("num_steps", "policy_fn", "collect_obs"),
+        )
+        self._random_actions = jax.jit(_actions.uniform_random_actions)
+
+    def reset(self) -> jax.Array:
+        return _state.batch_init_state(self.config.batch_size, self.config.board_size)
+
+    def step(self, states: jax.Array, actions: jax.Array):
+        return self._step(states, jnp.asarray(actions, jnp.int32))
+
+    def uniform_random_actions(self, key, states):
+        return self._random_actions(key, states)
+
+    def rollout(self, key, states, num_steps: int, **kw) -> Rollout:
+        return self._rollout(key, states, num_steps, **kw)
+
+    # accessors mirroring the single-env surface, batched
+    def valid_moves(self, states):
+        return _actions.batch_valid_moves(states)
+
+    def areas(self, states):
+        return _score.areas(states)
+
+    def winning(self, states):
+        return _score.winning(states, self.config.komi)

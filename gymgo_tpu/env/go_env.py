@@ -1,0 +1,147 @@
+"""Classic-Gym-compatible single-env adapter over the TPU engine.
+
+Surface parity with /root/reference/gym_go/envs/go_env.py:19-243: 4-tuple
+``step``, ``reset`` returning the observation only, ``info()`` dict,
+``valid_moves``/``children``/``winner``/``winning``, class attributes
+``govars``/``gogame``, terminal rendering, and the REAL/HEURISTIC reward
+methods including the heuristic tie -> -size^2 quirk (go_env.py:146).
+
+Built on gymnasium (classic gym is unmaintained); the API shape is the
+pre-0.26 one the reference uses.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+import numpy as np
+
+try:
+    import gymnasium as _gym
+    _ENV_BASE = _gym.Env
+except Exception:  # pragma: no cover - gymnasium always present in CI
+    _gym = None
+    _ENV_BASE = object
+
+from gymgo_tpu import gogame, govars
+
+
+class RewardMethod(Enum):
+    """REAL: 0 while ongoing, then sign(black_area - white_area - komi).
+    HEURISTIC: area difference each step; +/- size^2 once ended."""
+
+    REAL = "real"
+    HEURISTIC = "heuristic"
+
+
+class GoEnv(_ENV_BASE):
+    metadata = {"render.modes": ["terminal", "human"]}
+    govars = govars
+    gogame = gogame
+
+    def __init__(self, size, komi=0, reward_method="real"):
+        self.size = size
+        self.komi = komi
+        self.state_ = gogame.init_state(size)
+        self.reward_method = RewardMethod(reward_method)
+        if _gym is not None:
+            self.observation_space = _gym.spaces.Box(
+                np.float32(0),
+                np.float32(govars.NUM_CHNLS),
+                shape=(govars.NUM_CHNLS, size, size),
+            )
+            self.action_space = _gym.spaces.Discrete(gogame.action_size(self.state_))
+        self.done = False
+
+    def reset(self):
+        self.state_ = gogame.init_state(self.size)
+        self.done = False
+        return np.copy(self.state_)
+
+    def step(self, action):
+        """Apply one move (flat int, (row, col), or None for pass).
+
+        Returns the classic 4-tuple (observation, reward, done, info);
+        raises on invalid moves and on stepping a finished game, matching
+        go_env.py:49-64."""
+        assert not self.done
+        if isinstance(action, (tuple, list, np.ndarray)):
+            assert 0 <= action[0] < self.size
+            assert 0 <= action[1] < self.size
+            action = self.size * action[0] + action[1]
+        elif action is None:
+            action = self.size ** 2
+
+        self.state_ = gogame.next_state(self.state_, action, canonical=False)
+        self.done = gogame.game_ended(self.state_)
+        return np.copy(self.state_), self.reward(), self.done, self.info()
+
+    def game_ended(self):
+        return self.done
+
+    def turn(self):
+        return gogame.turn(self.state_)
+
+    def prev_player_passed(self):
+        return gogame.prev_player_passed(self.state_)
+
+    def valid_moves(self):
+        return gogame.valid_moves(self.state_)
+
+    def uniform_random_action(self):
+        valid_moves = self.valid_moves()
+        valid_move_idcs = np.argwhere(valid_moves).flatten()
+        return np.random.choice(valid_move_idcs)
+
+    def info(self):
+        return {
+            "turn": gogame.turn(self.state_),
+            "invalid_moves": gogame.invalid_moves(self.state_),
+            "prev_player_passed": gogame.prev_player_passed(self.state_),
+        }
+
+    def state(self):
+        return np.copy(self.state_)
+
+    def canonical_state(self):
+        return gogame.canonical_form(self.state_)
+
+    def children(self, canonical=False, padded=True):
+        return gogame.children(self.state_, canonical, padded)
+
+    def winning(self):
+        return gogame.winning(self.state_, self.komi)
+
+    def winner(self):
+        if self.game_ended():
+            return self.winning()
+        return 0
+
+    def reward(self):
+        if self.reward_method == RewardMethod.REAL:
+            return self.winner()
+        if self.reward_method == RewardMethod.HEURISTIC:
+            black_area, white_area = gogame.areas(self.state_)
+            komi_correction = black_area - white_area - self.komi
+            if self.game_ended():
+                # Ties score -size^2: code-over-README parity (go_env.py:146).
+                return (1 if komi_correction > 0 else -1) * self.size ** 2
+            return komi_correction
+        raise Exception("Unknown Reward Method")
+
+    def __str__(self):
+        return gogame.str(self.state_)
+
+    def close(self):
+        if hasattr(self, "window"):  # pragma: no cover - GUI only
+            self.window.close()
+
+    def render(self, mode="terminal"):
+        if mode == "terminal":
+            print(self.__str__())
+        elif mode == "human":  # pragma: no cover - needs a display + pyglet
+            from gymgo_tpu.utils import gui
+
+            return gui.run_game_window(self)
+        else:
+            raise ValueError(f"unknown render mode {mode!r}")
