@@ -1,0 +1,3 @@
+from gymgo_tpu.rl.selfplay import selfplay_rollout, SelfPlayBatch, policy_actions
+from gymgo_tpu.rl.learner import TrainState, make_train_state, train_step, az_loss
+from gymgo_tpu.rl.replay import ReplayBuffer

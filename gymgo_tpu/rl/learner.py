@@ -1,0 +1,66 @@
+"""The pjit learner: AZ loss, optax update, mesh-sharded train step.
+
+Gradient sync across the env/data axis and any tensor-parallel collectives
+come from GSPMD: parameters carry NamedShardings (replicated or
+model-axis-sharded, see models.az_net.param_shardings), batches are sharded
+on the env axis, and XLA inserts the psum/all-gathers on ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_state(params, learning_rate=1e-3, weight_decay=1e-4):
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def az_loss(params, apply_fn, obs, policy_target, value_target, mask):
+    """Masked cross-entropy on the policy + MSE on the value head.
+
+    obs: (M, 6, N, N) canonical states; targets as in SelfPlayBatch, with
+    leading dims flattened to M.
+    """
+    logits, value = apply_fn(params, obs)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # policy_target rows can contain -inf-masked softmaxes; they are valid
+    # probability vectors (zeros at invalid moves).
+    pi_loss = -jnp.sum(policy_target * logp, axis=-1)
+    v_loss = jnp.square(value - value_target)
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    pi_loss = jnp.sum(pi_loss * m) / denom
+    v_loss = jnp.sum(v_loss * m) / denom
+    return pi_loss + v_loss, (pi_loss, v_loss)
+
+
+def train_step(state: TrainState, tx, apply_fn, batch):
+    """One SGD update.  ``batch`` = (obs, policy_target, value_target, mask)
+    with flattened leading dim."""
+    obs, pi_t, v_t, mask = batch
+    grad_fn = jax.value_and_grad(az_loss, has_aux=True)
+    (loss, (pi_loss, v_loss)), grads = grad_fn(
+        state.params, apply_fn, obs, pi_t, v_t, mask
+    )
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+    metrics = {"loss": loss, "policy_loss": pi_loss, "value_loss": v_loss}
+    return new_state, metrics
+
+
+def make_jitted_train_step(tx, apply_fn):
+    return jax.jit(functools.partial(train_step, tx=tx, apply_fn=apply_fn))

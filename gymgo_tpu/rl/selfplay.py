@@ -1,0 +1,79 @@
+"""Batched on-device self-play: net-guided rollouts with lax.scan.
+
+Produces AZ training tuples (canonical observation, visit/policy target,
+outcome z from the mover's perspective) entirely on device — the trajectory
+never touches the host.  Action selection masks invalid moves with the
+env's own INVD channel, so generated games are always legal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gymgo_tpu.config import EnvConfig
+from gymgo_tpu.core import actions as _actions
+from gymgo_tpu.core import score as _score
+from gymgo_tpu.core import state as _state
+from gymgo_tpu.core import transform as _transform
+from gymgo_tpu.env import batch_env as _batch_env
+
+
+class SelfPlayBatch(NamedTuple):
+    """Scanned self-play data (leading dims T, B)."""
+
+    obs: jax.Array  # int8 (T, B, 6, N, N): canonical pre-move states
+    policy_target: jax.Array  # f32 (T, B, N*N+1)
+    value_target: jax.Array  # f32 (T, B): game outcome, mover's perspective
+    mask: jax.Array  # bool (T, B): step was part of a live game
+
+
+def policy_actions(key, states, apply_fn, params, temperature=1.0):
+    """Sample actions from the net's masked policy over canonical states."""
+    canonical = _transform.batch_canonical_form(states)
+    logits, _ = apply_fn(params, canonical)
+    valid = _actions.batch_valid_moves(states) > 0
+    masked = jnp.where(valid, logits / jnp.maximum(temperature, 1e-6), -jnp.inf)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32), masked
+
+
+def selfplay_rollout(
+    key: jax.Array,
+    states: jax.Array,
+    params,
+    apply_fn,
+    num_steps: int,
+    config: EnvConfig,
+    temperature: float = 1.0,
+) -> tuple[jax.Array, SelfPlayBatch]:
+    """Roll ``num_steps`` of net-guided self-play from ``states``.
+
+    Value targets use the final winner sign of each env's state at scan end
+    (exact for finished games; bootstrap-free approximation for truncated
+    ones), flipped to each step's mover perspective.
+    """
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        acts, masked_logits = policy_actions(sub, st, apply_fn, params, temperature)
+        canonical = _transform.batch_canonical_form(st)
+        mover_is_white = _state.turn(st) == 1
+        live = ~_state.game_ended(st)
+        new_st, res = _batch_env.batch_step(st, acts, config)
+        probs = jax.nn.softmax(masked_logits, axis=-1)
+        return (new_st, k), (canonical, probs, mover_is_white, live)
+
+    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+        body, (states, key), None, length=num_steps
+    )
+    # Outcome from black's perspective, per env, then per-step mover flip.
+    z_black = _score.winning(final_states, config.komi)  # f32 (B,)
+    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    return final_states, SelfPlayBatch(
+        obs=obs, policy_target=probs, value_target=z, mask=live
+    )

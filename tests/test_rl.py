@@ -1,0 +1,102 @@
+"""Model + learner tests: shapes, legality of self-play, train-step update,
+checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymgo_tpu.config import EnvConfig
+from gymgo_tpu.core import state as _state
+from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+from gymgo_tpu.rl import (
+    ReplayBuffer,
+    az_loss,
+    make_train_state,
+    selfplay_rollout,
+    train_step,
+)
+
+
+def _small_net(n=5):
+    cfg = AZNetConfig(board_size=n, channels=16, blocks=1,
+                      policy_channels=2, value_channels=2)
+    net = AZNet(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return net, params, cfg
+
+
+def test_net_forward_shapes():
+    net, params, cfg = _small_net(5)
+    states = _state.batch_init_state(3, 5)
+    logits, value = jax.jit(net.apply)(params, states)
+    assert logits.shape == (3, 26)
+    assert value.shape == (3,)
+    assert np.all(np.abs(np.asarray(value)) <= 1.0)
+
+
+def test_selfplay_rollout_legal_and_shaped():
+    net, params, netcfg = _small_net(5)
+    env_cfg = EnvConfig(board_size=5, batch_size=4, auto_reset=True)
+    states = _state.batch_init_state(4, 5)
+    final, batch = jax.jit(
+        lambda k, s, p: selfplay_rollout(k, s, p, net.apply, 12, env_cfg)
+    )(jax.random.PRNGKey(1), states, params)
+    assert batch.obs.shape == (12, 4, 6, 5, 5)
+    assert batch.policy_target.shape == (12, 4, 26)
+    assert batch.value_target.shape == (12, 4)
+    probs = np.asarray(batch.policy_target)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    # canonical obs: mover is always channel 0's player (turn plane zero)
+    assert np.all(np.asarray(batch.obs)[:, :, 2] == 0)
+
+
+def test_train_step_reduces_loss_on_fixed_batch():
+    net, params, netcfg = _small_net(5)
+    state, tx = make_train_state(params, learning_rate=1e-2)
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.bernoulli(key, 0.2, (32, 6, 5, 5)).astype(jnp.int8)
+    pi = jax.nn.softmax(jax.random.normal(key, (32, 26)))
+    v = jnp.sign(jax.random.normal(key, (32,)))
+    mask = jnp.ones((32,), bool)
+    batch = (obs, pi, v, mask)
+
+    loss0, _ = az_loss(state.params, net.apply, *batch)
+    for _ in range(10):
+        state, metrics = train_step(state, tx, net.apply, batch)
+    loss1, _ = az_loss(state.params, net.apply, *batch)
+    assert float(loss1) < float(loss0)
+    assert int(state.step) == 10
+
+
+def test_replay_buffer_wraps_and_samples():
+    buf = ReplayBuffer(capacity=10, board_size=5)
+    bs = buf.init()
+    obs = jnp.ones((6, 6, 5, 5), jnp.int8)
+    pi = jnp.ones((6, 26)) / 26
+    v = jnp.ones((6,))
+    bs = buf.add(bs, obs, pi, v)
+    assert int(bs.filled) == 6 and int(bs.cursor) == 6
+    bs = buf.add(bs, obs * 2, pi, -v)
+    assert int(bs.filled) == 10 and int(bs.cursor) == 2
+    o, p, val = buf.sample(bs, jax.random.PRNGKey(0), 8)
+    assert o.shape == (8, 6, 5, 5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gymgo_tpu.utils import checkpoint as ckpt
+
+    net, params, _ = _small_net(5)
+    state, _ = make_train_state(params)
+    env_states = _state.batch_init_state(4, 5)
+    tree = {
+        "params": state.params,
+        "env_states": env_states,
+        "key": jax.random.PRNGKey(3),
+    }
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_npz(path, tree)
+    restored = ckpt.restore_npz(path, tree)
+    for (a, b) in zip(
+        jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
