@@ -3,6 +3,14 @@
 Protocol (BASELINE.json configs[2]): 19x19 board, 4096 lockstep envs,
 heuristic reward (Trump-Taylor area scoring every step), auto-reset,
 uniform-random legal policy, `lax.scan` rollout with zero host round-trips.
+The measured window starts from a *steady-state* population (after a warmup
+rollout long enough for games to reach mid/late-game densities and recycle),
+so flood-fill trip counts reflect realistic boards, not empty ones.
+
+Timing fetches a scalar checksum of the rollout outputs: on the tunneled
+TPU backend `block_until_ready` alone does not reliably wait, and this also
+keeps device->host traffic out of the measured window.
+
 North-star target: >= 1,000,000 env-steps/s/chip (the reference publishes no
 numbers of its own — BASELINE.md); ``vs_baseline`` reports value / 1e6.
 
@@ -25,19 +33,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--board", type=int, default=19)
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=64, help="timed rollout length")
+    ap.add_argument("--warmup-steps", type=int, default=768,
+                    help="steady-state warmup rollout length")
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--reward", default="heuristic")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from gymgo_tpu.config import EnvConfig
-    from gymgo_tpu.env import BatchGoEnv
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.env.batch_env import rollout
 
     dev = jax.devices()[0]
     log(f"backend={jax.default_backend()} device={dev.device_kind}")
@@ -48,25 +60,41 @@ def main():
         reward_method=args.reward,
         auto_reset=True,
     )
-    env = BatchGoEnv(cfg)
-    key = jax.random.PRNGKey(0)
 
-    states = env.reset()
-    log("compiling rollout ...")
+    @jax.jit
+    def warm(key, states):
+        r = rollout(key, states, args.warmup_steps, cfg)
+        return r.final_states
+
+    @jax.jit
+    def timed(key, states):
+        r = rollout(key, states, args.steps, cfg)
+        checksum = jnp.sum(r.final_states.astype(jnp.int32)) + jnp.sum(r.rewards)
+        return r.final_states, checksum
+
+    key = jax.random.PRNGKey(0)
+    states = batch_init_state(args.batch, args.board)
+    log(f"warmup rollout ({args.warmup_steps} steps) ...")
     t0 = time.perf_counter()
-    r = env.rollout(key, states, args.steps)
-    jax.block_until_ready(r.final_states)
+    states = warm(key, states)
+    stones = int(jnp.sum(states[:, :2].astype(jnp.int32)))
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s; "
+        f"mean stones/board={stones / args.batch:.1f}")
+
+    log("compiling timed rollout ...")
+    t0 = time.perf_counter()
+    _, c = timed(key, states)
+    float(c)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     best = float("inf")
     for i in range(args.repeats):
-        states = env.reset()
-        jax.block_until_ready(states)
+        k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        r = env.rollout(key, states, args.steps)
-        jax.block_until_ready(r.final_states)
+        _, c = timed(k, states)
+        float(c)  # fetch forces completion over the tunnel
         dt = time.perf_counter() - t0
-        log(f"run {i}: {dt:.3f}s  ({args.batch * args.steps / dt:,.0f} steps/s)")
+        log(f"run {i}: {dt:.4f}s  ({args.batch * args.steps / dt:,.0f} steps/s)")
         best = min(best, dt)
 
     steps_per_sec = args.batch * args.steps / best

@@ -32,6 +32,8 @@ __all__ = [
     "neighbor_count_edge1",
     "flood_or",
     "flood_min_max_two_colors",
+    "flood_or_best",
+    "flood_min_max_two_colors_best",
 ]
 
 
@@ -180,3 +182,92 @@ def flood_min_max_two_colors(
 
     mn, mx, _ = lax.while_loop(cond, body, (seed_min, seed_max, jnp.array(True)))
     return mn, mx
+
+
+
+def flood_or_unrolled(seed: jax.Array, mask: jax.Array, unroll: int = 4) -> jax.Array:
+    """Same fixpoint as ``flood_or`` with ``unroll`` dilation substeps per
+    while iteration.  The flood is HBM-bandwidth-bound: fusing U substeps
+    into one loop body keeps intermediates on-chip and cuts traffic ~U-fold.
+    Extra substeps past the fixpoint are no-ops (monotone + idempotent), so
+    exactness is unaffected."""
+    if seed.dtype == jnp.bool_:
+        x0 = seed & mask
+        gate = mask
+    else:
+        gate = jnp.where(mask, ~jnp.zeros((), seed.dtype), jnp.zeros((), seed.dtype))
+        x0 = seed & gate
+
+    def cond(carry):
+        return carry[1]
+
+    def body(carry):
+        x, _ = carry
+        nx = x
+        for _ in range(unroll):
+            nx = gate & (nx | neighbor_or(nx))
+        return nx, jnp.any(nx != x)
+
+    out, _ = lax.while_loop(cond, body, (x0, jnp.array(True)))
+    return out
+
+
+def flood_min_max_two_colors_unrolled(
+    seed_min: jax.Array,
+    seed_max: jax.Array,
+    color_a: jax.Array,
+    color_b: jax.Array,
+    big: int,
+    unroll: int = 4,
+):
+    """Same fixpoint as ``flood_min_max_two_colors``; int16 values and
+    ``unroll`` fused substeps per iteration (bandwidth optimization)."""
+    in_dtype = seed_min.dtype
+    mn0 = seed_min.astype(jnp.int16)
+    mx0 = seed_max.astype(jnp.int16)
+    big_v = jnp.int16(big)
+    small_v = jnp.int16(-1)
+
+    def substep(mn, mx):
+        for color in (color_a, color_b):
+            nmn = neighbor_min(jnp.where(color, mn, big_v), big_v)
+            nmx = neighbor_max(jnp.where(color, mx, small_v), small_v)
+            mn = jnp.where(color, jnp.minimum(mn, nmn), mn)
+            mx = jnp.where(color, jnp.maximum(mx, nmx), mx)
+        return mn, mx
+
+    def cond(carry):
+        return carry[2]
+
+    def body(carry):
+        mn, mx, _ = carry
+        nmn, nmx = mn, mx
+        for _ in range(unroll):
+            nmn, nmx = substep(nmn, nmx)
+        return nmn, nmx, jnp.any((nmn != mn) | (nmx != mx))
+
+    mn, mx, _ = lax.while_loop(cond, body, (mn0, mx0, jnp.array(True)))
+    return mn.astype(in_dtype), mx.astype(in_dtype)
+
+
+# --------------------------------------------------------------------------
+# dispatch: the segmented-sweep implementation (flood_fast) computes the same
+# fixpoints ~10x faster on TPU; GYMGO_FLOOD=simple selects the short-range
+# reference implementation above (used to cross-check bit-exactness).
+# --------------------------------------------------------------------------
+
+import os as _os
+
+_IMPL = _os.environ.get("GYMGO_FLOOD", "unrolled")
+
+if _IMPL == "simple":
+    flood_or_best = flood_or
+    flood_min_max_two_colors_best = flood_min_max_two_colors
+elif _IMPL == "sweep":
+    from gymgo_tpu.core.flood_fast import (
+        flood_or_fast as flood_or_best,
+        flood_min_max_two_colors_fast as flood_min_max_two_colors_best,
+    )
+else:
+    flood_or_best = flood_or_unrolled
+    flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled

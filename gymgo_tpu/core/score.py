@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from gymgo_tpu import govars
-from gymgo_tpu.core.flood import flood_or, neighbor_or
+from gymgo_tpu.core.flood import flood_or_best as flood_or, neighbor_or
 
 __all__ = ["areas", "winning", "liberties", "num_liberties"]
 

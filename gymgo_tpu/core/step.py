@@ -61,8 +61,8 @@ import jax.numpy as jnp
 
 from gymgo_tpu import govars
 from gymgo_tpu.core.flood import (
-    flood_or,
-    flood_min_max_two_colors,
+    flood_or_best as flood_or,
+    flood_min_max_two_colors_best as flood_min_max_two_colors,
     neighbor_count_edge1,
     neighbor_or,
     shift,

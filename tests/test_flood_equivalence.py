@@ -1,0 +1,86 @@
+"""The segmented-sweep flood (flood_fast) must be bit-identical to the
+simple short-range flood on adversarial and random masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymgo_tpu.core import flood, flood_fast
+
+
+def _serpentine_mask(n):
+    """Worst-case run structure: full rows joined by single connectors."""
+    m = np.zeros((n, n), bool)
+    for r in range(0, n, 2):
+        m[r, :] = True
+    for r in range(1, n, 2):
+        m[r, n - 1 if (r // 2) % 2 == 0 else 0] = True
+    return m
+
+
+def _staircase_mask(n):
+    m = np.zeros((n, n), bool)
+    r = c = 0
+    while r < n and c < n:
+        m[r, c] = True
+        if (r + c) % 2 == 0:
+            c += 1
+        else:
+            r += 1
+    return m
+
+
+@pytest.mark.parametrize("n", [5, 9, 19])
+def test_flood_or_equivalence_random(n):
+    rng = np.random.default_rng(0)
+    for density in (0.2, 0.5, 0.8):
+        mask = jnp.asarray(rng.random((16, n, n)) < density)
+        seed = jnp.asarray(rng.random((16, n, n)) < 0.05) & mask
+        simple = flood.flood_or(seed, mask)
+        fast = flood_fast.flood_or_fast(seed, mask)
+        np.testing.assert_array_equal(np.asarray(simple), np.asarray(fast))
+
+
+@pytest.mark.parametrize("maker", [_serpentine_mask, _staircase_mask])
+def test_flood_or_equivalence_adversarial(maker):
+    n = 19
+    mask = jnp.asarray(maker(n))[None]
+    seed = jnp.zeros((1, n, n), bool).at[0, 0, 0].set(True) & mask
+    simple = flood.flood_or(seed, mask)
+    fast = flood_fast.flood_or_fast(seed, mask)
+    np.testing.assert_array_equal(np.asarray(simple), np.asarray(fast))
+    # the whole component must be reached
+    assert np.asarray(fast).sum() == np.asarray(mask).sum() or not bool(mask[0, 0, 0])
+
+
+@pytest.mark.parametrize("n", [5, 9, 19])
+def test_minmax_flood_equivalence(n):
+    rng = np.random.default_rng(1)
+    big = n * n
+    for _ in range(4):
+        occ = rng.random((8, n, n))
+        a = jnp.asarray(occ < 0.35)
+        b = jnp.asarray((occ >= 0.35) & (occ < 0.7))
+        idx = np.arange(n * n).reshape(n, n)
+        empty = ~(np.asarray(a) | np.asarray(b))
+        e_idx = np.where(empty, idx, big)
+        e_idx_neg = np.where(empty, idx, -1)
+        seed_min = jnp.asarray(
+            np.stack([flood.neighbor_min(jnp.asarray(e), big) for e in e_idx])
+        ).astype(jnp.int32)
+        seed_max = jnp.asarray(
+            np.stack([flood.neighbor_max(jnp.asarray(e), -1) for e in e_idx_neg])
+        ).astype(jnp.int32)
+        mn_s, mx_s = flood.flood_min_max_two_colors(seed_min, seed_max, a, b, big)
+        mn_f, mx_f = flood_fast.flood_min_max_two_colors_fast(
+            seed_min, seed_max, a, b, big
+        )
+        np.testing.assert_array_equal(
+            np.where(np.asarray(a | b), np.asarray(mn_s), 0),
+            np.where(np.asarray(a | b), np.asarray(mn_f), 0),
+        )
+        np.testing.assert_array_equal(
+            np.where(np.asarray(a | b), np.asarray(mx_s), 0),
+            np.where(np.asarray(a | b), np.asarray(mx_f), 0),
+        )
