@@ -39,11 +39,23 @@ class GoEnv(_ENV_BASE):
     govars = govars
     gogame = gogame
 
-    def __init__(self, size, komi=0, reward_method="real"):
+    def __init__(self, size, komi=0, reward_method="real", backend="jax"):
+        """``backend``: 'jax' routes stepping through the jitted device
+        kernels (canonical path); 'native' uses the C++ host engine
+        (microsecond latency for interactive/single-game use; bit-identical
+        semantics, see tests/test_native_engine.py)."""
         self.size = size
         self.komi = komi
         self.state_ = gogame.init_state(size)
         self.reward_method = RewardMethod(reward_method)
+        self.backend = backend
+        self._native = None
+        if backend == "native":
+            from gymgo_tpu.native import NativeGoEngine
+
+            self._native = NativeGoEngine(size)
+        elif backend != "jax":
+            raise ValueError(f"unknown backend {backend!r}")
         if _gym is not None:
             self.observation_space = _gym.spaces.Box(
                 np.float32(0),
@@ -72,7 +84,12 @@ class GoEnv(_ENV_BASE):
         elif action is None:
             action = self.size ** 2
 
-        self.state_ = gogame.next_state(self.state_, action, canonical=False)
+        if self._native is not None:
+            new_state, status = self._native.next_state(self.state_, int(action))
+            assert status == 0, ("Invalid move", action)
+            self.state_ = new_state.astype(np.float64)
+        else:
+            self.state_ = gogame.next_state(self.state_, action, canonical=False)
         self.done = gogame.game_ended(self.state_)
         return np.copy(self.state_), self.reward(), self.done, self.info()
 
@@ -107,10 +124,32 @@ class GoEnv(_ENV_BASE):
         return gogame.canonical_form(self.state_)
 
     def children(self, canonical=False, padded=True):
+        if self._native is not None:
+            valid = gogame.valid_moves(self.state_)
+            idcs = np.nonzero(valid)[0]
+            tiled = np.tile(self.state_[None].astype(np.int8), (len(idcs), 1, 1, 1))
+            stepped, status = self._native.batch_next_states(tiled, idcs)
+            out = stepped.astype(np.float64)
+            if canonical:
+                swapped = out[:, [1, 0, 2, 3, 4, 5]]
+                swapped[:, 2] = 1 - out[:, 2]
+                white_to_move = out[:, 2, 0, 0] == 1
+                out = np.where(white_to_move[:, None, None, None], swapped, out)
+            if padded:
+                padded_out = np.zeros((len(valid), *self.state_.shape))
+                padded_out[idcs] = out
+                return padded_out
+            return out
         return gogame.children(self.state_, canonical, padded)
 
+    def _areas(self):
+        if self._native is not None:
+            return self._native.areas(self.state_)
+        return gogame.areas(self.state_)
+
     def winning(self):
-        return gogame.winning(self.state_, self.komi)
+        black_area, white_area = self._areas()
+        return np.sign(black_area - white_area - self.komi)
 
     def winner(self):
         if self.game_ended():
@@ -121,7 +160,7 @@ class GoEnv(_ENV_BASE):
         if self.reward_method == RewardMethod.REAL:
             return self.winner()
         if self.reward_method == RewardMethod.HEURISTIC:
-            black_area, white_area = gogame.areas(self.state_)
+            black_area, white_area = self._areas()
             komi_correction = black_area - white_area - self.komi
             if self.game_ended():
                 # Ties score -size^2: code-over-README parity (go_env.py:146).
