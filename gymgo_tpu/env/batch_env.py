@@ -31,6 +31,7 @@ class StepResult(NamedTuple):
     reward: jax.Array  # float32 (B,): REAL/HEURISTIC reward, black's view
     done: jax.Array  # bool (B,): game over after this step
     invalid_action: jax.Array  # bool (B,): action was rejected (env frozen)
+    was_done: jax.Array  # bool (B,): env was already finished at entry
     num_captured: jax.Array  # int32 (B,): stones captured by this step
 
 
@@ -75,6 +76,7 @@ def batch_step(
         reward=reward,
         done=done,
         invalid_action=info.invalid_action,
+        was_done=info.was_done,
         num_captured=info.num_captured,
     )
 

@@ -1,0 +1,87 @@
+"""Auxiliary-subsystem tests: metrics counters, checkify debug stepping,
+checkpoint/resume bit-exactness of interrupted rollouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymgo_tpu.config import EnvConfig
+from gymgo_tpu.core.debug import checked_step
+from gymgo_tpu.core.state import batch_init_state
+from gymgo_tpu.env import BatchGoEnv
+from gymgo_tpu.utils import checkpoint as ckpt
+from gymgo_tpu.utils.metrics import format_metrics, init_metrics, update_metrics
+
+
+def test_metrics_counters():
+    cfg = EnvConfig(board_size=5, batch_size=3, auto_reset=True)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    m = init_metrics()
+    p = cfg.pass_action
+    # env0 double-passes to finish (tie on empty board), others play stones
+    for acts in ([p, 0, 1], [p, 5, 6], [0, 7, 8]):
+        states, res = env.step(states, jnp.asarray(acts))
+        m = update_metrics(m, res)
+    assert int(m.env_steps) == 9
+    assert int(m.games_finished) == 1
+    assert int(m.ties) == 1
+    assert int(m.black_wins) == 0 and int(m.white_wins) == 0
+    assert int(m.invalid_actions) == 0
+    assert "games=1" in format_metrics(m)
+
+
+def test_metrics_no_double_count_frozen():
+    cfg = EnvConfig(board_size=5, batch_size=1, auto_reset=False)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    p = cfg.pass_action
+    m = init_metrics()
+    for acts in ([p], [p], [p], [p]):  # finishes at step 2, frozen after
+        states, res = env.step(states, jnp.asarray(acts))
+        m = update_metrics(m, res)
+    assert int(m.games_finished) == 1
+
+
+def test_checked_step_flags_invalid():
+    states = batch_init_state(2, 5)
+    err, (new_states, info) = checked_step(states, jnp.asarray([0, 3]))
+    err.throw()  # no error on valid actions
+
+    states2, _ = new_states, info
+    err, _ = checked_step(states2, jnp.asarray([0, 1]))  # env0 repeats move 0
+    try:
+        err.throw()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_resume_bit_exact(tmp_path):
+    """checkpoint mid-rollout -> restore -> continue == uninterrupted run."""
+    cfg = EnvConfig(board_size=7, batch_size=4, auto_reset=True)
+    env = BatchGoEnv(cfg)
+    key = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(key)
+
+    states = env.reset()
+    r_full_a = env.rollout(k1, states, 20)
+    r_full_b = env.rollout(k2, r_full_a.final_states, 20)
+
+    # interrupted: same first half, checkpoint, restore, second half
+    states = env.reset()
+    r_half = env.rollout(k1, states, 20)
+    path = str(tmp_path / "resume.npz")
+    tree = {"states": r_half.final_states, "key": k2}
+    ckpt.save_npz(path, tree)
+    restored = ckpt.restore_npz(path, tree)
+    r_resumed = env.rollout(
+        jnp.asarray(restored["key"]), jnp.asarray(restored["states"]), 20
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_full_b.final_states), np.asarray(r_resumed.final_states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_full_b.actions), np.asarray(r_resumed.actions)
+    )

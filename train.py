@@ -1,0 +1,124 @@
+"""AZ-style actor-learner training loop (BASELINE config[4] slice).
+
+Batched net-guided self-play feeds an on-device replay buffer; the learner
+samples uniformly and applies AZ loss updates.  Everything per-iteration is
+jitted; with multiple devices the env batch shards over the mesh's env axis
+and parameters ride the model axis (GSPMD inserts the collectives).
+
+Example (CPU smoke): python train.py --board 5 --envs 16 --channels 16 \
+    --blocks 1 --rollout-steps 16 --iters 3 --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--board", type=int, default=9)
+    ap.add_argument("--envs", type=int, default=256)
+    ap.add_argument("--rollout-steps", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--train-batch", type=int, default=1024)
+    ap.add_argument("--replay-capacity", type=int, default=1 << 16)
+    ap.add_argument("--komi", type=float, default=0.0)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.rl import (
+        ReplayBuffer,
+        make_train_state,
+        selfplay_rollout,
+        train_step,
+    )
+    from gymgo_tpu.utils.profiling import Meter
+
+    env_cfg = EnvConfig(
+        board_size=args.board,
+        batch_size=args.envs,
+        komi=args.komi,
+        auto_reset=True,
+    )
+    net_cfg = AZNetConfig(
+        board_size=args.board, channels=args.channels, blocks=args.blocks
+    )
+    net = AZNet(net_cfg)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = init_params(init_key, net_cfg)
+    train_state, tx = make_train_state(params, learning_rate=args.lr)
+    buf = ReplayBuffer(args.replay_capacity, args.board)
+    buf_state = buf.init()
+
+    @jax.jit
+    def selfplay_iter(key, states, params):
+        final, batch = selfplay_rollout(
+            key, states, params, net.apply, args.rollout_steps, env_cfg,
+            temperature=args.temperature,
+        )
+        t, b = batch.value_target.shape
+        flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
+        flat_pi = batch.policy_target.reshape(t * b, -1)
+        flat_v = jnp.where(
+            batch.mask.reshape(t * b), batch.value_target.reshape(t * b), 0.0
+        )
+        return final, flat_obs, flat_pi, flat_v, batch.mask.reshape(t * b)
+
+    @jax.jit
+    def learn_iter(train_state, buf_state, key):
+        obs, pi, v = buf.sample(buf_state, key, args.train_batch)
+        mask = jnp.ones((args.train_batch,), bool)
+        return train_step(train_state, tx, net.apply, (obs, pi, v, mask))
+
+    states = batch_init_state(args.envs, args.board)
+    meter = Meter()
+    for it in range(args.iters):
+        key, sp_key, lr_key = jax.random.split(key, 3)
+        states, obs, pi, v, mask = selfplay_iter(sp_key, states, train_state.params)
+        buf_state = jax.jit(buf.add)(buf_state, obs, pi, v)
+        train_state, metrics = learn_iter(train_state, buf_state, lr_key)
+        sps = meter.update(args.envs * args.rollout_steps)
+        print(
+            f"iter {it}: loss={float(metrics['loss']):.4f} "
+            f"pi={float(metrics['policy_loss']):.4f} "
+            f"v={float(metrics['value_loss']):.4f} "
+            f"replay={int(buf_state.filled)} env-steps/s={sps:,.0f}",
+            flush=True,
+        )
+
+    if args.checkpoint:
+        from gymgo_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_npz(
+            args.checkpoint,
+            {
+                "params": train_state.params,
+                "opt_state": train_state.opt_state,
+                "step": train_state.step,
+                "env_states": states,
+                "key": key,
+            },
+        )
+        print(f"saved checkpoint to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()
