@@ -65,7 +65,13 @@ class GoEnv(_ENV_BASE):
             self.action_space = _gym.spaces.Discrete(gogame.action_size(self.state_))
         self.done = False
 
-    def reset(self):
+    def reset(self, seed=None, options=None):
+        """Classic-gym reset: returns the observation only (the reference's
+        pre-0.26 contract, go_env.py:40-47).  ``seed``/``options`` are
+        accepted for gymnasium wrapper compatibility; seeding drives the
+        global np.random stream the reference also uses."""
+        if seed is not None:
+            np.random.seed(seed)
         self.state_ = gogame.init_state(self.size)
         self.done = False
         return np.copy(self.state_)

@@ -1,0 +1,87 @@
+"""GoEnv surface parity tests: registration, spaces, info dict, action
+normalization, class attrs — the §2.3 table of SURVEY.md."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import gymgo_tpu
+from gymgo_tpu import gogame, govars
+from gymgo_tpu.env import GoEnv, GoExtraHardEnv
+
+
+def test_gymnasium_registration_and_make():
+    gymnasium = pytest.importorskip("gymnasium")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        env = gymnasium.make("go-v0", size=7, komi=1.5)
+        obs = env.reset(seed=0)
+        state, reward, done, info = env.step((0, 0))
+    assert state.shape == (6, 7, 7)
+    assert env.unwrapped.komi == 1.5
+    assert "go-extrahard-v0" in gymnasium.registry
+
+
+def test_spaces():
+    env = GoEnv(size=9)
+    assert env.observation_space.shape == (govars.NUM_CHNLS, 9, 9)
+    assert env.action_space.n == 82
+
+
+def test_class_attrs_are_modules():
+    assert GoEnv.gogame is gogame
+    assert GoEnv.govars is govars
+    env = GoEnv(size=5)
+    env.reset()
+    # tests in the reference call through the class attr (test_basics.py:51)
+    s = env.gogame.next_state(env.state(), 0)
+    assert s[govars.BLACK, 0, 0] == 1
+
+
+def test_info_dict_contents():
+    env = GoEnv(size=5)
+    env.reset()
+    _, _, _, info = env.step(3)
+    assert set(info) == {"turn", "invalid_moves", "prev_player_passed"}
+    assert info["turn"] == 1
+    assert info["invalid_moves"].shape == (26,)
+    assert not info["prev_player_passed"]
+
+
+def test_action_normalization_and_bounds():
+    env = GoEnv(size=5)
+    env.reset()
+    with pytest.raises(Exception):
+        env.step((-1, 0))
+    with pytest.raises(Exception):
+        env.step((0, 100))
+    env.step(np.array([2, 2]))  # ndarray accepted
+    assert env.state()[govars.BLACK, 2, 2] == 1
+
+
+def test_extrahard_stub():
+    assert GoExtraHardEnv.metadata["render.modes"] == ["human", "terminal"]
+
+
+def test_str_and_render_terminal(capsys):
+    env = GoEnv(size=5)
+    env.reset()
+    env.step(0)
+    env.render("terminal")
+    out = capsys.readouterr().out
+    assert "○" in out and "Turn: WHITE" in out
+
+
+def test_uniform_random_action_matches_reference_rng():
+    """Same np.random stream + same mask => same choice as the reference's
+    np.random.choice(argwhere(valid)) (go_env.py:78-81)."""
+    env = GoEnv(size=5)
+    env.reset()
+    env.step(3)
+    valid = env.valid_moves()
+    idcs = np.argwhere(valid).flatten()
+    np.random.seed(7)
+    expect = np.random.choice(idcs)
+    np.random.seed(7)
+    assert env.uniform_random_action() == expect
