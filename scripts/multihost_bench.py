@@ -67,7 +67,9 @@ def main():
         ),
     )
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
     def roll(key, states, steps):
         r = rollout(key, states, steps, cfg)
         return r.final_states, jnp.sum(r.final_states.astype(jnp.int32))
