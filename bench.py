@@ -62,11 +62,6 @@ def main():
     )
 
     @jax.jit
-    def warm(key, states):
-        r = rollout(key, states, args.warmup_steps, cfg)
-        return r.final_states
-
-    @jax.jit
     def timed(key, states):
         r = rollout(key, states, args.steps, cfg)
         checksum = jnp.sum(r.final_states.astype(jnp.int32)) + jnp.sum(r.rewards)
@@ -74,18 +69,24 @@ def main():
 
     key = jax.random.PRNGKey(0)
     states = batch_init_state(args.batch, args.board)
-    log(f"warmup rollout ({args.warmup_steps} steps) ...")
+
+    log("compiling rollout ...")
     t0 = time.perf_counter()
-    states = warm(key, states)
+    states, c = timed(key, states)
+    float(c)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    # Reach steady-state board population by iterating the SAME compiled
+    # program (a separate long-scan warmup would recompile).
+    chunks = max(0, (args.warmup_steps - args.steps) // args.steps)
+    log(f"warmup: {chunks} x {args.steps} steps ...")
+    t0 = time.perf_counter()
+    for i in range(chunks):
+        states, c = timed(jax.random.fold_in(key, 1000 + i), states)
+    float(c)
     stones = int(jnp.sum(states[:, :2].astype(jnp.int32)))
     log(f"warmup done in {time.perf_counter() - t0:.1f}s; "
         f"mean stones/board={stones / args.batch:.1f}")
-
-    log("compiling timed rollout ...")
-    t0 = time.perf_counter()
-    _, c = timed(key, states)
-    float(c)
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     best = float("inf")
     for i in range(args.repeats):

@@ -62,10 +62,18 @@ def children(state: jax.Array, canonical: bool = False) -> jax.Array:
 
 def uniform_random_actions(key: jax.Array, states: jax.Array) -> jax.Array:
     """Uniform draw over each env's valid actions (pass included) — the
-    batched, on-device analog of go_env.py:78-81."""
-    valid = batch_valid_moves(states) > 0
-    logits = jnp.where(valid, 0.0, -jnp.inf)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    batched, on-device analog of go_env.py:78-81.
+
+    Implementation: argmax of iid uniform random bits over the valid set —
+    one integer pass, ~2x cheaper than a Gumbel categorical (f32 log/add),
+    and exactly uniform (32-bit ties have negligible probability and break
+    deterministically)."""
+    b, n = states.shape[0], states.shape[-1]
+    valid = states[:, govars.INVD_CHNL].reshape(b, -1) == 0
+    valid = jnp.concatenate([valid, jnp.ones((b, 1), bool)], axis=1)
+    bits = jax.random.bits(key, (b, n * n + 1), dtype=jnp.uint32)
+    masked = jnp.where(valid, bits, jnp.uint32(0))
+    return jnp.argmax(masked, axis=-1).astype(jnp.int32)
 
 
 def weighted_random_actions(key: jax.Array, weights: jax.Array) -> jax.Array:
