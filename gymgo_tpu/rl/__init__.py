@@ -1,3 +1,4 @@
 from gymgo_tpu.rl.selfplay import selfplay_rollout, SelfPlayBatch, policy_actions
 from gymgo_tpu.rl.learner import TrainState, make_train_state, train_step, az_loss
 from gymgo_tpu.rl.replay import ReplayBuffer
+from gymgo_tpu.rl.search import gumbel_oneply, make_search_policy, SearchResult
