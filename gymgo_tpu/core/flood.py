@@ -268,9 +268,10 @@ def flood_min_max_two_colors_unrolled(
 
 
 # --------------------------------------------------------------------------
-# dispatch: the segmented-sweep implementation (flood_fast) computes the same
-# fixpoints ~10x faster on TPU; GYMGO_FLOOD=simple selects the short-range
-# reference implementation above (used to cross-check bit-exactness).
+# dispatch: all three implementations compute identical fixpoints
+# (tests/test_flood_equivalence.py).  "unrolled" (default) is fastest on TPU
+# at production batch sizes; "sweep" = long-range segmented sweeps;
+# "simple" = the short-range reference implementation, for cross-checking.
 # --------------------------------------------------------------------------
 
 import os as _os
