@@ -77,3 +77,60 @@ def selfplay_rollout(
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live
     )
+
+
+def selfplay_search_rollout(
+    key: jax.Array,
+    states: jax.Array,
+    params,
+    apply_fn,
+    num_steps: int,
+    config: EnvConfig,
+    num_sampled: int = 16,
+    c_q: float = 1.0,
+):
+    """Self-play driven by the one-ply Gumbel lookahead (rl.search); policy
+    targets are the search-improved distributions instead of the raw net
+    policy — the AZ-style learning signal."""
+    from gymgo_tpu.rl.search import gumbel_oneply
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        res = gumbel_oneply(
+            sub, st, params, apply_fn,
+            num_sampled=num_sampled, c_q=c_q, komi=config.komi,
+        )
+        canonical = _transform.batch_canonical_form(st)
+        mover_is_white = _state.turn(st) == 1
+        live = ~_state.game_ended(st)
+        new_st, _ = _batch_env.batch_step(st, res.actions, config)
+        return (new_st, k), (canonical, res.improved_policy, mover_is_white, live)
+
+    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+        body, (states, key), None, length=num_steps
+    )
+    z_black = _score.winning(final_states, config.komi)
+    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    return final_states, SelfPlayBatch(
+        obs=obs, policy_target=probs, value_target=z, mask=live
+    )
+
+
+def augment_symmetries(key: jax.Array, obs: jax.Array, policy: jax.Array):
+    """Apply a random dihedral symmetry per sample to (obs, policy) pairs —
+    the training-data use of the reference's symmetry utilities
+    (gogame.py:340-382), vectorized on device.
+
+    obs: (M, 6, N, N); policy: (M, N*N + 1) with trailing pass logit/prob.
+    """
+    m = obs.shape[0]
+    n = obs.shape[-1]
+    orientations = jax.random.randint(key, (m,), 0, 8)
+
+    def one(o, ob, pi):
+        ob2 = _transform.apply_symmetry(ob, o)
+        board = _transform.apply_symmetry(pi[: n * n].reshape(n, n), o)
+        return ob2, jnp.concatenate([board.reshape(-1), pi[n * n:]])
+
+    return jax.vmap(one)(orientations, obs, policy)

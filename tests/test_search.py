@@ -73,3 +73,30 @@ def test_search_policy_in_rollout():
         lambda k, s: rollout(k, s, 8, cfg, policy_fn=policy)
     )(jax.random.PRNGKey(1), states)
     assert r.actions.shape == (8, 4)
+
+
+def test_augment_symmetries_consistency():
+    """Policy mass must move with the board under augmentation."""
+    from gymgo_tpu.rl.selfplay import augment_symmetries
+
+    n = 5
+    m = 16
+    rng = np.random.default_rng(0)
+    obs = np.zeros((m, 6, n, n), np.int8)
+    pi = np.zeros((m, n * n + 1), np.float32)
+    cells = rng.integers(0, n * n, size=m)
+    for i, c in enumerate(cells):
+        obs[i, 0, c // n, c % n] = 1
+        pi[i, c] = 0.75
+        pi[i, n * n] = 0.25  # pass mass must be preserved
+    obs2, pi2 = augment_symmetries(
+        jax.random.PRNGKey(3), jnp.asarray(obs), jnp.asarray(pi)
+    )
+    obs2 = np.asarray(obs2)
+    pi2 = np.asarray(pi2)
+    for i in range(m):
+        stone = np.argwhere(obs2[i, 0])[0]
+        board_pi = pi2[i, : n * n].reshape(n, n)
+        assert board_pi[stone[0], stone[1]] == 0.75
+        assert pi2[i, n * n] == 0.25
+        assert abs(pi2[i].sum() - 1.0) < 1e-6

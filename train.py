@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--replay-capacity", type=int, default=1 << 16)
     ap.add_argument("--komi", type=float, default=0.0)
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--search-k", type=int, default=0,
+                    help=">0: one-ply Gumbel lookahead self-play with this "
+                         "many sampled actions; targets = improved policies")
+    ap.add_argument("--augment", action="store_true",
+                    help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -49,6 +54,7 @@ def main():
         selfplay_rollout,
         train_step,
     )
+    from gymgo_tpu.rl.selfplay import augment_symmetries, selfplay_search_rollout
     from gymgo_tpu.utils.profiling import Meter
 
     env_cfg = EnvConfig(
@@ -70,10 +76,16 @@ def main():
 
     @jax.jit
     def selfplay_iter(key, states, params):
-        final, batch = selfplay_rollout(
-            key, states, params, net.apply, args.rollout_steps, env_cfg,
-            temperature=args.temperature,
-        )
+        if args.search_k > 0:
+            final, batch = selfplay_search_rollout(
+                key, states, params, net.apply, args.rollout_steps, env_cfg,
+                num_sampled=args.search_k,
+            )
+        else:
+            final, batch = selfplay_rollout(
+                key, states, params, net.apply, args.rollout_steps, env_cfg,
+                temperature=args.temperature,
+            )
         t, b = batch.value_target.shape
         flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
         flat_pi = batch.policy_target.reshape(t * b, -1)
@@ -93,6 +105,9 @@ def main():
     for it in range(args.iters):
         key, sp_key, lr_key = jax.random.split(key, 3)
         states, obs, pi, v, mask = selfplay_iter(sp_key, states, train_state.params)
+        if args.augment:
+            key, aug_key = jax.random.split(key)
+            obs, pi = jax.jit(augment_symmetries)(aug_key, obs, pi)
         buf_state = jax.jit(buf.add)(buf_state, obs, pi, v)
         train_state, metrics = learn_iter(train_state, buf_state, lr_key)
         sps = meter.update(args.envs * args.rollout_steps)
