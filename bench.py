@@ -111,5 +111,16 @@ def main():
     )
 
 
+def _resilient_main():
+    # The tunneled TPU backend can fail transiently (relay reconnects);
+    # one retry keeps driver-run benchmarks from false-negative crashes.
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying in 60s")
+        time.sleep(60)
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _resilient_main()

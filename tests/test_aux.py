@@ -85,3 +85,15 @@ def test_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(r_full_b.actions), np.asarray(r_resumed.actions)
     )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "states": batch_init_state(4, 5),
+        "key": jax.random.PRNGKey(1),
+    }
+    path = str(tmp_path / "orbax_ck")
+    ckpt.save_orbax(path, tree)
+    restored = ckpt.restore_orbax(path, tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
