@@ -286,6 +286,11 @@ elif _IMPL == "sweep":
         flood_or_fast as flood_or_best,
         flood_min_max_two_colors_fast as flood_min_max_two_colors_best,
     )
-else:
+elif _IMPL == "unrolled":
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled
+else:  # hybrid (default): sweeps + exact dilation verify for minmax
+    from gymgo_tpu.core.flood_fast import (
+        flood_min_max_two_colors_hybrid as flood_min_max_two_colors_best,
+    )
+    flood_or_best = flood_or_unrolled

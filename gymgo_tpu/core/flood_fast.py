@@ -172,3 +172,54 @@ def flood_min_max_two_colors_fast(
         mn.reshape(shape).astype(seed_min.dtype),
         mx.reshape(shape).astype(seed_max.dtype),
     )
+
+
+def flood_min_max_two_colors_hybrid(
+    seed_min: jax.Array,
+    seed_max: jax.Array,
+    color_a: jax.Array,
+    color_b: jax.Array,
+    big: int,
+    num_sweeps: int | None = None,
+    unroll: int = 1,
+):
+    """Fastest exact variant: a fixed number of long-range segmented sweeps
+    (no convergence checks — each resolves whole straight runs, so ~one per
+    bend in a group's geodesic), then the short-range dilation loop runs to
+    the provable fixpoint (usually a single verification pass).
+
+    Sweeps are pure accelerators: they are monotone toward the same fixpoint,
+    so exactness comes from the trailing while-loop regardless of
+    ``num_sweeps``.  12 sweeps covers the bend counts seen at steady state
+    on 19x19 (measured); adversarial shapes just fall through to dilations.
+    """
+    from gymgo_tpu.core.flood import flood_min_max_two_colors_unrolled
+
+    n = seed_min.shape[-1]
+    if num_sweeps is None:
+        # bends scale with board size; 12 measured optimal at N=19
+        num_sweeps = max(2, min(12, (2 * n) // 3))
+    shape = seed_min.shape
+    lead = shape[:-2]
+    mn = seed_min.astype(jnp.int16).reshape(*lead, n * n)
+    mx = seed_max.astype(jnp.int16).reshape(*lead, n * n)
+    a = color_a.reshape(*lead, n * n)
+    b = color_b.reshape(*lead, n * n)
+    big_v = jnp.int16(big)
+    small_v = jnp.int16(-1)
+    fbool = jnp.zeros((), jnp.bool_)
+
+    def compat(roll, invalid):
+        sa = _shift_flat(a, roll, invalid, fbool)
+        sb = _shift_flat(b, roll, invalid, fbool)
+        return (a & sa) | (b & sb)
+
+    dirs, conns = _build_conns(compat, n)
+    for _ in range(num_sweeps):
+        mn = _sweep(mn, dirs, conns, jnp.minimum, big_v)
+        mx = _sweep(mx, dirs, conns, jnp.maximum, small_v)
+
+    return flood_min_max_two_colors_unrolled(
+        mn.reshape(shape), mx.reshape(shape), color_a, color_b, big,
+        unroll=unroll,
+    )
