@@ -84,3 +84,53 @@ def test_minmax_flood_equivalence(n):
             np.where(np.asarray(a | b), np.asarray(mx_s), 0),
             np.where(np.asarray(a | b), np.asarray(mx_f), 0),
         )
+
+
+def test_minmax_all_variants_agree():
+    """simple / unrolled / sweep / hybrid must be bit-identical."""
+    from gymgo_tpu.core.flood import (
+        flood_min_max_two_colors,
+        flood_min_max_two_colors_unrolled,
+        neighbor_min,
+        neighbor_max,
+    )
+    from gymgo_tpu.core.flood_fast import (
+        flood_min_max_two_colors_fast,
+        flood_min_max_two_colors_hybrid,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 9
+    big = n * n
+    occ = rng.random((8, n, n))
+    a = jnp.asarray(occ < 0.35)
+    b = jnp.asarray((occ >= 0.35) & (occ < 0.7))
+    idx = jnp.arange(big).reshape(n, n).astype(jnp.int32)
+    empty = ~(a | b)
+    seed_min = neighbor_min(jnp.where(empty, idx, big), big)
+    seed_max = neighbor_max(jnp.where(empty, idx, -1), -1)
+    outs = [
+        flood_min_max_two_colors(seed_min, seed_max, a, b, big),
+        flood_min_max_two_colors_unrolled(seed_min, seed_max, a, b, big),
+        flood_min_max_two_colors_fast(seed_min, seed_max, a, b, big),
+        flood_min_max_two_colors_hybrid(seed_min, seed_max, a, b, big),
+        flood_min_max_two_colors_hybrid(seed_min, seed_max, a, b, big, num_sweeps=1),
+    ]
+    stones = np.asarray(a | b)
+    ref_mn = np.where(stones, np.asarray(outs[0][0]), 0)
+    ref_mx = np.where(stones, np.asarray(outs[0][1]), 0)
+    for mn, mx in outs[1:]:
+        np.testing.assert_array_equal(ref_mn, np.where(stones, np.asarray(mn), 0))
+        np.testing.assert_array_equal(ref_mx, np.where(stones, np.asarray(mx), 0))
+
+
+def test_flood_or_unrolled_agrees():
+    from gymgo_tpu.core.flood import flood_or, flood_or_unrolled
+
+    rng = np.random.default_rng(4)
+    mask = jnp.asarray(rng.random((8, 9, 9)) < 0.6)
+    seed = jnp.asarray(rng.random((8, 9, 9)) < 0.1) & mask
+    np.testing.assert_array_equal(
+        np.asarray(flood_or(seed, mask)),
+        np.asarray(flood_or_unrolled(seed, mask)),
+    )
