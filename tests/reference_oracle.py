@@ -20,9 +20,19 @@ REFERENCE_PATH = "/root/reference/gym_go"
 
 
 def load_reference_gogame():
-    """Returns the reference ``gogame`` module (cached after first load)."""
-    if "gym_go.gogame" in sys.modules:
-        return sys.modules["gym_go.gogame"]
+    """Returns the reference ``gogame`` module (cached after first load).
+
+    Guard: the repo ships a ``gym_go`` *compatibility shim* backed by
+    gymgo_tpu.  The oracle must always be the code under /root/reference —
+    comparing the engine against its own shim would make parity tests
+    vacuous — so any previously imported non-reference gym_go is evicted.
+    """
+    existing = sys.modules.get("gym_go.gogame")
+    if existing is not None:
+        if REFERENCE_PATH in (getattr(existing, "__file__", "") or ""):
+            return existing
+        for name in [m for m in sys.modules if m.split(".")[0] == "gym_go"]:
+            del sys.modules[name]
 
     if not hasattr(np, "int"):
         np.int = int  # removed alias used at reference gogame.py:250

@@ -85,3 +85,30 @@ def test_uniform_random_action_matches_reference_rng():
     expect = np.random.choice(idcs)
     np.random.seed(7)
     assert env.uniform_random_action() == expect
+
+
+def test_gym_go_compat_shim_subprocess():
+    """`import gym_go` (the bundled compatibility shim) must expose the
+    reference package surface, isolated in a subprocess so it cannot collide
+    with the test oracle's real-reference gym_go modules."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import gym_go\n"
+        "import numpy as np\n"
+        "s = gym_go.gogame.init_state(5)\n"
+        "s = gym_go.gogame.next_state(s, 0)\n"
+        "assert s[gym_go.govars.BLACK, 0, 0] == 1\n"
+        "env = gym_go.envs.GoEnv(size=5)\n"
+        "env.reset(); env.step((1, 1))\n"
+        "import gymnasium\n"
+        "e2 = gymnasium.make('go-v0', size=5)\n"
+        "print('compat-ok')\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert "compat-ok" in out.stdout, out.stderr[-2000:]
