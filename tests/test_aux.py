@@ -97,3 +97,21 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = ckpt.restore_orbax(path, tree)
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sgf_export():
+    from gymgo_tpu.utils import sgf
+
+    s = sgf.game_to_sgf([0, 5, 25, 25], 5, komi=0.5, result="B+R")
+    assert s.startswith("(;GM[1]FF[4]SZ[5]KM[0.5]")
+    assert ";B[aa]" in s and ";W[ab]" in s  # (0,0) -> aa ; 5=(1,0) -> col a row b
+    assert ";B[]" in s and ";W[]" in s  # passes
+    assert s.endswith(")")
+
+    cfg = EnvConfig(board_size=5, batch_size=2, auto_reset=True)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    r = env.rollout(jax.random.PRNGKey(0), states, 60)
+    games = sgf.rollout_to_sgf_games(r.actions, r.dones, 5, env_index=0)
+    for g in games:
+        assert g.startswith("(;GM[1]") and g.endswith(")")
