@@ -20,6 +20,8 @@ untouched.  Connectivity is 4-neighbor (cross), matching the reference's
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -218,7 +220,7 @@ def flood_min_max_two_colors_unrolled(
     color_a: jax.Array,
     color_b: jax.Array,
     big: int,
-    unroll: int = 4,
+    unroll: int = int(_os.environ.get("GYMGO_UNROLL", "4")),
 ):
     """Same fixpoint as ``flood_min_max_two_colors``, optimized:
 
@@ -273,8 +275,6 @@ def flood_min_max_two_colors_unrolled(
 # at production batch sizes; "sweep" = long-range segmented sweeps;
 # "simple" = the short-range reference implementation, for cross-checking.
 # --------------------------------------------------------------------------
-
-import os as _os
 
 _IMPL = _os.environ.get("GYMGO_FLOOD", "unrolled")
 
