@@ -135,7 +135,17 @@ def main():
     ap.add_argument("--boardsize", type=int, default=9)
     ap.add_argument("--iterations", type=int, default=64)
     ap.add_argument("--skip-children", action="store_true")
+    ap.add_argument("--cpu", action="store_true", default=True,
+                    help="force the CPU backend (default: this protocol is a "
+                         "single-env host-latency benchmark; the tunneled TPU "
+                         "would add ~30ms RTT per step)")
+    ap.add_argument("--tpu", dest="cpu", action="store_false")
     args = ap.parse_args()
+
+    if args.cpu and args.engine != "reference":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     np.random.seed(0)
     env = make_env(args.engine, args.boardsize)
