@@ -134,3 +134,40 @@ def augment_symmetries(key: jax.Array, obs: jax.Array, policy: jax.Array):
         return ob2, jnp.concatenate([board.reshape(-1), pi[n * n:]])
 
     return jax.vmap(one)(orientations, obs, policy)
+
+
+def selfplay_mcts_rollout(
+    key: jax.Array,
+    states: jax.Array,
+    params,
+    apply_fn,
+    num_steps: int,
+    config: EnvConfig,
+    num_simulations: int = 32,
+    **mcts_kw,
+):
+    """Full-AZ self-play: MCTS action selection with visit-count policy
+    targets (rl.mcts)."""
+    from gymgo_tpu.rl.mcts import run_mcts
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        res = run_mcts(
+            sub, st, params, apply_fn,
+            num_simulations=num_simulations, komi=config.komi, **mcts_kw,
+        )
+        canonical = _transform.batch_canonical_form(st)
+        mover_is_white = _state.turn(st) == 1
+        live = ~_state.game_ended(st)
+        new_st, _ = _batch_env.batch_step(st, res.actions, config)
+        return (new_st, k), (canonical, res.visit_policy, mover_is_white, live)
+
+    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+        body, (states, key), None, length=num_steps
+    )
+    z_black = _score.winning(final_states, config.komi)
+    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    return final_states, SelfPlayBatch(
+        obs=obs, policy_target=probs, value_target=z, mask=live
+    )

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--replay-capacity", type=int, default=1 << 16)
     ap.add_argument("--komi", type=float, default=0.0)
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--mcts-sims", type=int, default=0,
+                    help=">0: full MCTS self-play with this simulation budget "
+                         "per move; targets = visit-count policies")
     ap.add_argument("--search-k", type=int, default=0,
                     help=">0: one-ply Gumbel lookahead self-play with this "
                          "many sampled actions; targets = improved policies")
@@ -54,7 +57,11 @@ def main():
         selfplay_rollout,
         train_step,
     )
-    from gymgo_tpu.rl.selfplay import augment_symmetries, selfplay_search_rollout
+    from gymgo_tpu.rl.selfplay import (
+        augment_symmetries,
+        selfplay_mcts_rollout,
+        selfplay_search_rollout,
+    )
     from gymgo_tpu.utils.profiling import Meter
 
     env_cfg = EnvConfig(
@@ -76,7 +83,12 @@ def main():
 
     @jax.jit
     def selfplay_iter(key, states, params):
-        if args.search_k > 0:
+        if args.mcts_sims > 0:
+            final, batch = selfplay_mcts_rollout(
+                key, states, params, net.apply, args.rollout_steps, env_cfg,
+                num_simulations=args.mcts_sims,
+            )
+        elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_sampled=args.search_k,
