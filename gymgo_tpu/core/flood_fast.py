@@ -26,7 +26,6 @@ the reference-parity suite.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gymgo_tpu import govars
+
 from gymgo_tpu.config import EnvConfig, HEURISTIC, REAL
 from gymgo_tpu.core import actions as _actions
 from gymgo_tpu.core import score as _score

@@ -18,7 +18,6 @@ Invalid moves raise AssertionError exactly like the reference (gogame.py:59).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ on the env axis, and XLA inserts the psum/all-gathers on ICI.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ target) and the root value estimate.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

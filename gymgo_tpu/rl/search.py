@@ -14,7 +14,6 @@ framework; full multi-ply MCTS can build on the same pieces.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -8,7 +8,6 @@ env's own INVD channel, so generated games are always legal.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -10,7 +10,6 @@ local so headless environments never touch it.
 
 from __future__ import annotations
 
-import numpy as np
 
 from gymgo_tpu import govars
 

@@ -7,7 +7,7 @@ batched rollouts (one game record per env, split at auto-reset boundaries).
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
