@@ -269,6 +269,87 @@ def flood_min_max_two_colors_unrolled(
     return mn.astype(in_dtype), mx.astype(in_dtype)
 
 
+
+def flood_min_max_two_colors_split(
+    seed_min: jax.Array,
+    seed_max: jax.Array,
+    color_a: jax.Array,
+    color_b: jax.Array,
+    big: int,
+    unroll: int = 4,
+):
+    """Bandwidth-split variant: an int16 min-index flood, then an int8
+    OR-flood of "group has a liberty other than its min" — together they
+    reproduce (mn, mx)-classification semantics with ~25% less loop traffic
+    (4 int16 + 4 int8 shifts/substep instead of 8 int16).
+
+    The returned ``mx`` is synthetic: big-1 when a second distinct liberty
+    exists, else equal to mn — callers only ever compare mn==mx / mn<mx
+    (see step.py), which this preserves exactly.
+    """
+    in_dtype = seed_min.dtype
+    mn0 = seed_min.astype(jnp.int16)
+    big_v = jnp.int16(big)
+    f = jnp.zeros((), jnp.bool_)
+
+    dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    same = tuple(
+        (color_a & shift(color_a, dr, dc, f)) | (color_b & shift(color_b, dr, dc, f))
+        for (dr, dc) in dirs
+    )
+
+    def min_substep(mn):
+        for (dr, dc), same_d in zip(dirs, same):
+            mn = jnp.minimum(mn, jnp.where(same_d, shift(mn, dr, dc, big_v), big_v))
+        return mn
+
+    def min_body(carry):
+        mn, _ = carry
+        nmn = mn
+        for _ in range(unroll):
+            nmn = min_substep(nmn)
+        return nmn, jnp.any(nmn != mn)
+
+    mn, _ = lax.while_loop(lambda c: c[1], min_body, (mn0, jnp.array(True)))
+
+    # Second pass: does the group touch an empty cell whose index differs
+    # from the group min?  seed_max's -1/index encoding tells us each
+    # stone's adjacent empty cells only via neighbor scan; recompute the
+    # seed directly from the color planes.
+    stones = color_a | color_b
+    empty = ~stones
+    n = seed_min.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int16, seed_min.shape, seed_min.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int16, seed_min.shape, seed_min.ndim - 1)
+    cell_idx = rows * jnp.int16(n) + cols
+    e_idx = jnp.where(empty, cell_idx, jnp.int16(-1))
+    other = jnp.zeros(seed_min.shape, jnp.bool_)
+    for (dr, dc) in dirs:
+        nbr = shift(e_idx, dr, dc, jnp.int16(-1))
+        other = other | ((nbr >= 0) & (nbr != mn))
+    other = other & stones
+
+    def or_substep(x):
+        for (dr, dc), same_d in zip(dirs, same):
+            x = x | (jnp.where(same_d, shift(x, dr, dc, f), f))
+        return x
+
+    def or_body(carry):
+        x, _ = carry
+        nx = x
+        for _ in range(unroll):
+            nx = or_substep(nx)
+        return nx, jnp.any(nx != x)
+
+    other, _ = lax.while_loop(lambda c: c[1], or_body, (other, jnp.array(True)))
+
+    mx = jnp.where(other, jnp.int16(big - 1), mn)
+    # Preserve mn<mx even when mn == big-1 and a second liberty exists:
+    # impossible (mn is the MINIMUM of >=2 distinct indices <= big-1, so
+    # mn <= big-2 there); assert statically via construction.
+    return mn.astype(in_dtype), mx.astype(in_dtype)
+
+
 # --------------------------------------------------------------------------
 # dispatch: all three implementations compute identical fixpoints
 # (tests/test_flood_equivalence.py).  "unrolled" (default) is fastest on TPU
@@ -276,7 +357,7 @@ def flood_min_max_two_colors_unrolled(
 # "simple" = the short-range reference implementation, for cross-checking.
 # --------------------------------------------------------------------------
 
-_IMPL = _os.environ.get("GYMGO_FLOOD", "unrolled")
+_IMPL = _os.environ.get("GYMGO_FLOOD", "split")
 
 if _IMPL == "simple":
     flood_or_best = flood_or
@@ -289,6 +370,9 @@ elif _IMPL == "sweep":
 elif _IMPL == "unrolled":
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled
+elif _IMPL == "split":
+    flood_or_best = flood_or_unrolled
+    flood_min_max_two_colors_best = flood_min_max_two_colors_split
 else:  # hybrid (default): sweeps + exact dilation verify for minmax
     from gymgo_tpu.core.flood_fast import (
         flood_min_max_two_colors_hybrid as flood_min_max_two_colors_best,

@@ -134,3 +134,44 @@ def test_flood_or_unrolled_agrees():
         np.asarray(flood_or(seed, mask)),
         np.asarray(flood_or_unrolled(seed, mask)),
     )
+
+
+def test_split_variant_classification_agrees():
+    """The split (mn + second-liberty-bit) variant must give the same
+    0/1/>=2 liberty classification as the exact (mn, mx) floods (its mx is
+    synthetic, so only the classification is comparable)."""
+    from gymgo_tpu.core.flood import (
+        flood_min_max_two_colors,
+        flood_min_max_two_colors_split,
+        neighbor_min,
+        neighbor_max,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 9
+    big = n * n
+    for _ in range(4):
+        occ = rng.random((8, n, n))
+        a = jnp.asarray(occ < 0.35)
+        b = jnp.asarray((occ >= 0.35) & (occ < 0.7))
+        idx = jnp.arange(big).reshape(n, n).astype(jnp.int32)
+        empty = ~(a | b)
+        seed_min = neighbor_min(jnp.where(empty, idx, big), big)
+        seed_max = neighbor_max(jnp.where(empty, idx, -1), -1)
+        mn_r, mx_r = flood_min_max_two_colors(seed_min, seed_max, a, b, big)
+        mn_s, mx_s = flood_min_max_two_colors_split(seed_min, seed_max, a, b, big)
+        stones = np.asarray(a | b)
+
+        def classify(mn, mx):
+            mn, mx = np.asarray(mn), np.asarray(mx)
+            has = mn < big
+            one = has & (mn == mx)
+            multi = mn < mx
+            return (
+                np.where(stones, has, 0),
+                np.where(stones, one, 0),
+                np.where(stones, multi, 0),
+            )
+
+        for x, y in zip(classify(mn_r, mx_r), classify(mn_s, mx_s)):
+            np.testing.assert_array_equal(x, y)
