@@ -113,3 +113,43 @@ def test_random_action_stream_parity():
         tpu_actions.append(a)
         s = gogame.next_state(s, a)
     assert ref_actions == tpu_actions
+
+
+def test_random_game_parity_13x13():
+    _play_parity_game(13, seed=1, max_steps=120, check_extras_every=30)
+
+
+def test_exhaustive_small_board_parity():
+    """Every legal move sequence to depth 4 on 3x3: reference vs native
+    engine exhaustively, JAX engine on a deterministic subsample."""
+    from gymgo_tpu.native import NativeGoEngine
+
+    ref = load_reference_gogame()
+    eng = NativeGoEngine(3)
+    checked = [0, 0]
+
+    def recurse(s_ref, s_nat, depth, path):
+        if depth == 0 or ref.game_ended(s_ref):
+            return
+        valid = np.nonzero(ref.valid_moves(s_ref))[0]
+        for a in valid:
+            r2 = ref.next_state(s_ref, a)
+            n2, status = eng.next_state(s_nat, int(a))
+            assert status == 0, (path, a)
+            np.testing.assert_array_equal(
+                r2.astype(np.int8), n2, err_msg=f"path={path} a={a}"
+            )
+            checked[0] += 1
+            if hash((*path, int(a))) % 20 == 0:  # 5% subsample for JAX
+                j2 = gogame.next_state(
+                    np.asarray(s_ref, np.float64), int(a)
+                )
+                np.testing.assert_array_equal(r2, j2, err_msg=f"jax path={path} a={a}")
+                checked[1] += 1
+            recurse(r2, n2, depth - 1, path + (int(a),))
+
+    s0_ref = ref.init_state(3)
+    s0_nat = np.zeros((6, 3, 3), np.int8)
+    recurse(s0_ref, s0_nat, 4, ())
+    assert checked[0] > 5000, checked  # exhaustive coverage really ran
+    assert checked[1] > 100, checked
