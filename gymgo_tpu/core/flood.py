@@ -355,6 +355,26 @@ def flood_min_max_two_colors_split(
     return mn.astype(in_dtype), mx.astype(in_dtype)
 
 
+def liberty_classes_from_minmax(color_a, color_b, n, minmax_fn):
+    """(one_lib, multi_lib) stone maps derived from a (min, max) flood
+    implementation — the seed construction shared by all minmax variants."""
+    big = n * n
+    stones = color_a | color_b
+    empty = ~stones
+    rows = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 1)
+    cell_idx = rows * n + cols
+    empty_idx = jnp.where(empty, cell_idx, big)
+    empty_idx_neg = jnp.where(empty, cell_idx, jnp.int32(-1))
+    seed_min = neighbor_min(empty_idx, big)
+    seed_max = neighbor_max(empty_idx_neg, -1)
+    mn, mx = minmax_fn(seed_min, seed_max, color_a, color_b, big)
+    has_lib = mn < big
+    one_lib = stones & has_lib & (mn == mx)
+    multi_lib = stones & (mn < mx)
+    return one_lib, multi_lib
+
+
 # --------------------------------------------------------------------------
 # dispatch: all three implementations compute identical fixpoints
 # (tests/test_flood_equivalence.py).  "unrolled" (default) is fastest on TPU
@@ -378,8 +398,95 @@ elif _IMPL == "unrolled":
 elif _IMPL == "split":
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_split
+elif _IMPL == "bitpack":
+    flood_or_best = flood_or_unrolled
+    flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled
 else:  # hybrid (default): sweeps + exact dilation verify for minmax
     from gymgo_tpu.core.flood_fast import (
         flood_min_max_two_colors_hybrid as flood_min_max_two_colors_best,
     )
     flood_or_best = flood_or_unrolled
+
+
+def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
+    """(one_lib, multi_lib) bool maps per stone via ONE packed OR-flood.
+
+    Encoding: each liberty cell contributes v = flat_index + 1 (9 bits,
+    v in [1, n*n]).  Per group we need OR(v) and AND(v) over its distinct
+    liberty cells: all-equal  <=>  OR == AND  <=>  exactly one distinct
+    liberty.  AND is propagated as OR of the complement (De Morgan), so the
+    whole thing packs into one int32 word per cell:
+
+        packed = OR_bits  |  (~AND_bits & MASK) << 9
+
+    and bitwise OR distributes over both fields — a single pure-OR flood
+    within same-color components (gated by precomputed per-direction
+    same-color masks; OR's neutral 0 makes gating a cheap AND).  Stones with
+    no adjacent empty contribute (0, 0): neutral for both fields.
+
+      has_lib  = OR_bits != 0
+      one_lib  = has_lib and OR_bits == AND_bits
+      multi    = has_lib and OR_bits != AND_bits
+    """
+    mask9 = jnp.int32((1 << 9) - 1)
+    stones = color_a | color_b
+    empty = ~stones
+    rows = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 1)
+    v = jnp.where(empty, rows * n + cols + 1, 0)
+    inv_v = jnp.where(empty, (~(rows * n + cols + 1)) & mask9, 0)
+    packed_cell = v | (inv_v << 9)
+
+    zero = jnp.int32(0)
+    dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    # per-stone seed: OR over adjacent empty cells' packed words
+    seed = zero
+    for (dr, dc) in dirs:
+        seed = seed | shift(packed_cell, dr, dc, zero)
+    seed = jnp.where(stones, seed, zero)
+
+    f = jnp.zeros((), jnp.bool_)
+    same = tuple(
+        jnp.where(
+            (color_a & shift(color_a, dr, dc, f))
+            | (color_b & shift(color_b, dr, dc, f)),
+            jnp.int32(-1),
+            zero,
+        )
+        for (dr, dc) in dirs
+    )
+
+    def substep(x, order):
+        for (dr, dc), same_d in order:
+            x = x | (shift(x, dr, dc, zero) & same_d)
+        return x
+
+    fwd = tuple(zip(dirs, same))
+    rev = tuple(reversed(fwd))
+
+    def body(carry):
+        x, _ = carry
+        nx = substep(x, fwd)
+        nx = substep(nx, rev)
+        nx = substep(nx, fwd)
+        nx = substep(nx, rev)
+        return nx, jnp.any(nx != x)
+
+    packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
+
+    or_bits = packed & mask9
+    and_bits = (~(packed >> 9)) & mask9
+    has_lib = or_bits != 0
+    one_lib = stones & has_lib & (or_bits == and_bits)
+    multi_lib = stones & has_lib & (or_bits != and_bits)
+    return one_lib, multi_lib
+
+
+import functools as _functools
+
+if _IMPL == "bitpack":
+    liberty_classification_best = liberty_classes_bitpack
+else:
+    liberty_classification_best = _functools.partial(
+        liberty_classes_from_minmax, minmax_fn=flood_min_max_two_colors_best
+    )

@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from gymgo_tpu import govars
 from gymgo_tpu.core.flood import (
     flood_or_best as flood_or,
-    flood_min_max_two_colors_best as flood_min_max_two_colors,
+    liberty_classification_best as liberty_classification,
     neighbor_count_edge1,
     neighbor_or,
     shift,
@@ -156,25 +156,12 @@ def step_states(states: jax.Array, actions: jax.Array):
     ko_active = (num_captured == 1) & surrounded_pre
     ko_flat = jnp.argmax(killed.reshape(b, -1), axis=1)
 
-    # Invalid-move mask for the next player, on the post-capture board.
+    # Invalid-move mask for the next player, on the post-capture board:
+    # classify every stone's group by distinct-liberty count (0 / 1 / >=2).
     all_pieces = mover | opp
     empty = ~all_pieces
     cell_idx = rows * n + cols
-    empty_idx = jnp.where(empty, cell_idx, big)
-    empty_idx_neg = jnp.where(empty, cell_idx, jnp.int32(-1))
-    seed_min = jnp.minimum(
-        jnp.minimum(shift(empty_idx, 1, 0, big), shift(empty_idx, -1, 0, big)),
-        jnp.minimum(shift(empty_idx, 0, 1, big), shift(empty_idx, 0, -1, big)),
-    )
-    seed_max = jnp.maximum(
-        jnp.maximum(shift(empty_idx_neg, 1, 0, -1), shift(empty_idx_neg, -1, 0, -1)),
-        jnp.maximum(shift(empty_idx_neg, 0, 1, -1), shift(empty_idx_neg, 0, -1, -1)),
-    )
-    mn, mx = flood_min_max_two_colors(seed_min, seed_max, mover, opp, pass_idx)
-
-    has_liberty = mn < big
-    one_lib = has_liberty & (mn == mx)
-    multi_lib = mn < mx
+    one_lib, multi_lib = liberty_classification(mover, opp, n)
     atari_mover = mover & one_lib
     multi_mover = mover & multi_lib
     atari_opp = opp & one_lib
