@@ -100,3 +100,41 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_match_play_random_vs_random():
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.rl import play_match
+
+    cfg = EnvConfig(board_size=5, batch_size=16)
+    res = jax.jit(
+        lambda k: play_match(
+            k, uniform_random_actions, uniform_random_actions, cfg,
+            num_games=16, max_steps=120,
+        )
+    )(jax.random.PRNGKey(0))
+    total = int(res.policy_a_wins) + int(res.policy_b_wins) + int(res.ties)
+    assert total + int(res.unfinished) == 16
+    assert total >= 12  # random 5x5 games nearly always finish in 120 moves
+    assert 0.0 <= float(res.a_winrate) <= 1.0
+
+
+def test_match_play_search_beats_random():
+    """One-ply exact-terminal lookahead should beat uniform random on 5x5
+    (it never misses an immediately winning/capturing move)."""
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.rl import make_search_policy, play_match
+
+    net, params, _ = _small_net(5)
+    cfg = EnvConfig(board_size=5, batch_size=24)
+    search = make_search_policy(params, net.apply, num_sampled=10, c_q=4.0)
+    res = jax.jit(
+        lambda k: play_match(
+            k, search, uniform_random_actions, cfg, num_games=24, max_steps=120
+        )
+    )(jax.random.PRNGKey(1))
+    finished = int(res.policy_a_wins) + int(res.policy_b_wins) + int(res.ties)
+    assert finished >= 16
+    assert float(res.a_winrate) >= 0.5, res

@@ -36,6 +36,10 @@ def main():
                          "many sampled actions; targets = improved policies")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help=">0: every K iters, match the current net (one-ply "
+                         "search) against uniform random and log win rate")
+    ap.add_argument("--eval-games", type=int, default=64)
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -112,6 +116,19 @@ def main():
         mask = jnp.ones((args.train_batch,), bool)
         return train_step(train_state, tx, net.apply, (obs, pi, v, mask))
 
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.rl import make_search_policy, play_match
+
+    @jax.jit
+    def eval_match(key, params):
+        policy = make_search_policy(params, net.apply, num_sampled=8,
+                                    komi=args.komi)
+        return play_match(
+            key, policy, uniform_random_actions, env_cfg,
+            num_games=args.eval_games,
+            max_steps=3 * args.board * args.board,
+        )
+
     states = batch_init_state(args.envs, args.board)
     meter = Meter()
     for it in range(args.iters):
@@ -130,6 +147,15 @@ def main():
             f"replay={int(buf_state.filled)} env-steps/s={sps:,.0f}",
             flush=True,
         )
+        if args.eval_every and (it + 1) % args.eval_every == 0:
+            key, ev_key = jax.random.split(key)
+            res = eval_match(ev_key, train_state.params)
+            print(
+                f"  eval vs random: winrate={float(res.a_winrate):.2f} "
+                f"({int(res.policy_a_wins)}W/{int(res.policy_b_wins)}L/"
+                f"{int(res.ties)}T, {int(res.unfinished)} unfinished)",
+                flush=True,
+            )
 
     if args.checkpoint:
         from gymgo_tpu.utils import checkpoint as ckpt
