@@ -382,7 +382,7 @@ def liberty_classes_from_minmax(color_a, color_b, n, minmax_fn):
 # "simple" = the short-range reference implementation, for cross-checking.
 # --------------------------------------------------------------------------
 
-_IMPL = _os.environ.get("GYMGO_FLOOD", "split")
+_IMPL = _os.environ.get("GYMGO_FLOOD", "bitpack")
 
 if _IMPL == "simple":
     flood_or_best = flood_or
