@@ -76,6 +76,17 @@ def uniform_random_actions(key: jax.Array, states: jax.Array) -> jax.Array:
     return jnp.argmax(masked, axis=-1).astype(jnp.int32)
 
 
+def uniform_random_actions_planes(key: jax.Array, ps) -> jax.Array:
+    """Planes-carry variant of ``uniform_random_actions`` (same distribution;
+    reads the invd plane directly)."""
+    b, n, _ = ps.invd.shape
+    valid = ~ps.invd.reshape(b, -1)
+    valid = jnp.concatenate([valid, jnp.ones((b, 1), bool)], axis=1)
+    bits = jax.random.bits(key, (b, n * n + 1), dtype=jnp.uint32)
+    masked = jnp.where(valid, bits, jnp.uint32(0))
+    return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+
 def weighted_random_actions(key: jax.Array, weights: jax.Array) -> jax.Array:
     """Sample actions proportional to non-negative ``weights`` (B, N*N+1);
     invalid moves are assumed to carry weight 0 (gogame.py:385-392)."""

@@ -15,14 +15,12 @@ import jax.numpy as jnp
 from gymgo_tpu import govars
 from gymgo_tpu.core.flood import flood_or_best as flood_or, neighbor_or
 
-__all__ = ["areas", "winning", "liberties", "num_liberties"]
+__all__ = ["areas", "areas_planes", "winning", "winning_planes", "liberties", "num_liberties"]
 
 
-def areas(states: jax.Array):
-    """Batched Trump-Taylor area score.  Returns (black_area, white_area) int32 (B,)."""
-    b = states.shape[0]
-    black = states[:, govars.BLACK].astype(jnp.bool_)
-    white = states[:, govars.WHITE].astype(jnp.bool_)
+def areas_planes(black: jax.Array, white: jax.Array):
+    """Trump-Taylor area score from color planes ((B,N,N) bool each)."""
+    b = black.shape[0]
     empty = ~(black | white)
 
     touch = jnp.where(empty & neighbor_or(black), jnp.uint8(1), jnp.uint8(0))
@@ -34,6 +32,19 @@ def areas(states: jax.Array):
     black_area = jnp.sum((black | only_black).reshape(b, -1), axis=1, dtype=jnp.int32)
     white_area = jnp.sum((white | only_white).reshape(b, -1), axis=1, dtype=jnp.int32)
     return black_area, white_area
+
+
+def areas(states: jax.Array):
+    """Batched Trump-Taylor area score.  Returns (black_area, white_area) int32 (B,)."""
+    return areas_planes(
+        states[:, govars.BLACK].astype(jnp.bool_),
+        states[:, govars.WHITE].astype(jnp.bool_),
+    )
+
+
+def winning_planes(black, white, komi: float = 0.0):
+    ba, wa = areas_planes(black, white)
+    return jnp.sign(ba.astype(jnp.float32) - wa.astype(jnp.float32) - komi)
 
 
 def winning(states: jax.Array, komi: float = 0.0):

@@ -68,7 +68,15 @@ from gymgo_tpu.core.flood import (
     shift,
 )
 
-__all__ = ["StepInfo", "step_states", "invalid_action_flags"]
+__all__ = [
+    "StepInfo",
+    "PlanesState",
+    "step_states",
+    "step_planes",
+    "planes_from_states",
+    "states_from_planes",
+    "invalid_action_flags",
+]
 
 
 class StepInfo(NamedTuple):
@@ -77,6 +85,51 @@ class StepInfo(NamedTuple):
     invalid_action: jax.Array  # bool (B,): move hit INVD_CHNL or out of range
     was_done: jax.Array  # bool (B,): env was already finished at entry
     num_captured: jax.Array  # int32 (B,): opponent stones removed this step
+
+
+class PlanesState(NamedTuple):
+    """Bandwidth-optimal env-state carry for scanned rollouts.
+
+    The canonical (B, 6, N, N) layout stores TURN/PASS/DONE as whole planes
+    (reference contract); inside a rollout those are redundant — carrying
+    them as per-env bits halves the state traffic of every step.  Converters
+    are exact inverses; ``step_planes`` is the core transition and
+    ``step_states`` a thin wrapper, so both paths are one implementation.
+    """
+
+    black: jax.Array  # bool (B, N, N)
+    white: jax.Array  # bool (B, N, N)
+    invd: jax.Array  # bool (B, N, N)
+    white_to_move: jax.Array  # bool (B,)
+    prev_passed: jax.Array  # bool (B,)
+    done: jax.Array  # bool (B,)
+
+
+def planes_from_states(states: jax.Array) -> PlanesState:
+    return PlanesState(
+        black=states[:, govars.BLACK].astype(jnp.bool_),
+        white=states[:, govars.WHITE].astype(jnp.bool_),
+        invd=states[:, govars.INVD_CHNL].astype(jnp.bool_),
+        white_to_move=states[:, govars.TURN_CHNL, 0, 0].astype(jnp.bool_),
+        prev_passed=states[:, govars.PASS_CHNL, 0, 0].astype(jnp.bool_),
+        done=states[:, govars.DONE_CHNL, 0, 0].astype(jnp.bool_),
+    )
+
+
+def states_from_planes(ps: PlanesState, dtype=jnp.int8) -> jax.Array:
+    b, n, _ = ps.black.shape
+    plane = lambda v: jnp.broadcast_to(v[:, None, None], (b, n, n))
+    return jnp.stack(
+        [
+            ps.black,
+            ps.white,
+            plane(ps.white_to_move),
+            ps.invd,
+            plane(ps.prev_passed),
+            plane(ps.done),
+        ],
+        axis=1,
+    ).astype(dtype)
 
 
 def invalid_action_flags(states, actions):
@@ -92,27 +145,24 @@ def invalid_action_flags(states, actions):
     return oob | (~is_pass & hit)
 
 
-def step_states(states: jax.Array, actions: jax.Array):
-    """Apply one move per env.  ``states`` int8 (B,6,N,N), ``actions`` (B,).
-
-    Actions are flat ints in [0, N*N]; N*N means pass.  Returns
-    ``(new_states, StepInfo)``.  Envs that are already done, or whose action
-    is invalid, pass through unchanged and are flagged.
-    """
-    b, _, n, _ = states.shape
+def step_planes(ps: PlanesState, actions: jax.Array):
+    """Core transition on the planes carry; see ``step_states``."""
+    b, n, _ = ps.black.shape
     pass_idx = n * n
-    big = jnp.int32(pass_idx)
 
-    black = states[:, govars.BLACK].astype(jnp.bool_)
-    white = states[:, govars.WHITE].astype(jnp.bool_)
-    white_to_move = states[:, govars.TURN_CHNL, 0, 0].astype(jnp.bool_)
-    prev_passed = states[:, govars.PASS_CHNL, 0, 0].astype(jnp.bool_)
-    done = states[:, govars.DONE_CHNL, 0, 0].astype(jnp.bool_)
+    black, white = ps.black, ps.white
+    white_to_move, prev_passed, done = ps.white_to_move, ps.prev_passed, ps.done
 
     actions = actions.astype(jnp.int32)
     is_pass = actions == pass_idx
-    invalid_action = invalid_action_flags(states, actions)
+    oob = (actions < 0) | (actions > pass_idx)
     board_idx = jnp.clip(actions, 0, pass_idx - 1)
+    hit = (
+        jnp.take_along_axis(
+            ps.invd.reshape(b, -1), board_idx[:, None], axis=1
+        )[:, 0]
+    )
+    invalid_action = oob | (~is_pass & hit)
     row = board_idx // n
     col = board_idx % n
 
@@ -174,28 +224,31 @@ def step_states(states: jax.Array, actions: jax.Array):
     ko_point = (cell_idx == ko_flat[:, None, None]) & ko_active[:, None, None]
     invd = invd | ko_point
 
-    # Reassemble the 6 channels.
-    new_black = jnp.where(wtm, opp, mover)
-    new_white = jnp.where(wtm, mover, opp)
-    new_done = done | (prev_passed & is_pass)
-    plane = lambda v: jnp.broadcast_to(v[:, None, None], (b, n, n))
-    new_states = jnp.stack(
-        [
-            new_black,
-            new_white,
-            plane(~white_to_move),
-            invd,
-            plane(is_pass),
-            plane(new_done),
-        ],
-        axis=1,
-    ).astype(states.dtype)
-
-    frozen = (done | invalid_action)[:, None, None, None]
-    new_states = jnp.where(frozen, states, new_states)
+    # Frozen envs (finished, or invalid action) pass through unchanged.
+    frozen = done | invalid_action
+    fz = frozen[:, None, None]
+    new_ps = PlanesState(
+        black=jnp.where(fz, black, jnp.where(wtm, opp, mover)),
+        white=jnp.where(fz, white, jnp.where(wtm, mover, opp)),
+        invd=jnp.where(fz, ps.invd, invd),
+        white_to_move=jnp.where(frozen, white_to_move, ~white_to_move),
+        prev_passed=jnp.where(frozen, prev_passed, is_pass),
+        done=jnp.where(frozen, done, done | (prev_passed & is_pass)),
+    )
     info = StepInfo(
         invalid_action=invalid_action,
         was_done=done,
-        num_captured=jnp.where(done | invalid_action, 0, num_captured),
+        num_captured=jnp.where(frozen, 0, num_captured),
     )
-    return new_states, info
+    return new_ps, info
+
+
+def step_states(states: jax.Array, actions: jax.Array):
+    """Apply one move per env.  ``states`` int8 (B,6,N,N), ``actions`` (B,).
+
+    Actions are flat ints in [0, N*N]; N*N means pass.  Returns
+    ``(new_states, StepInfo)``.  Envs that are already done, or whose action
+    is invalid, pass through unchanged and are flagged.
+    """
+    ps, info = step_planes(planes_from_states(states), actions)
+    return states_from_planes(ps, states.dtype), info

@@ -91,6 +91,25 @@ class Rollout(NamedTuple):
     obs: Optional[jax.Array] = None  # int8 (T, B, 6, N, N) when collected
 
 
+def _planes_reward(ps, done, config: EnvConfig):
+    n = config.board_size
+    if config.reward_method == REAL:
+        return lax.cond(
+            jnp.any(done),
+            lambda p: jnp.where(
+                done, _score.winning_planes(p.black, p.white, config.komi), 0.0
+            ),
+            lambda p: jnp.zeros(p.black.shape[0], jnp.float32),
+            ps,
+        )
+    if config.reward_method == HEURISTIC:
+        ba, wa = _score.areas_planes(ps.black, ps.white)
+        kc = ba.astype(jnp.float32) - wa.astype(jnp.float32) - config.komi
+        end_reward = jnp.where(kc > 0, 1.0, -1.0) * (n * n)
+        return jnp.where(done, end_reward, kc)
+    raise ValueError(config.reward_method)
+
+
 def rollout(
     key: jax.Array,
     states: jax.Array,
@@ -104,26 +123,46 @@ def rollout(
     ``policy_fn(key, states) -> actions`` defaults to uniform-random over
     valid moves.  With ``config.auto_reset`` finished games restart in place,
     making this the continuous self-play driver.
+
+    The scan carries the bandwidth-optimal planes state (half the traffic
+    of the packed tensor); the packed layout is materialized only for
+    custom ``policy_fn``s and collected observations, keeping the default
+    (uniform-random) path maximally lean.
     """
-    if policy_fn is None:
-        policy_fn = _actions.uniform_random_actions
 
     def body(carry, _):
-        st, k = carry
+        ps, k = carry
         k, sub = jax.random.split(k)
-        acts = policy_fn(sub, st)
-        st, res = batch_step(st, acts, config)
-        out = (acts, res.reward, res.done) + ((res.obs,) if collect_obs else ())
-        return (st, k), out
+        if config.auto_reset:
+            ps = jax.tree.map(
+                lambda x: jnp.where(
+                    ps.done.reshape((-1,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros_like(x),
+                    x,
+                ),
+                ps,
+            )
+        if policy_fn is None:
+            acts = _actions.uniform_random_actions_planes(sub, ps)
+        else:
+            acts = policy_fn(sub, _step.states_from_planes(ps))
+        ps, info = _step.step_planes(ps, acts)
+        done = ps.done
+        reward = _planes_reward(ps, done, config)
+        out = (acts, reward, done) + (
+            (_step.states_from_planes(ps),) if collect_obs else ()
+        )
+        return (ps, k), out
 
-    (final_states, _), outs = lax.scan(body, (states, key), None, length=num_steps)
+    ps0 = _step.planes_from_states(states)
+    (final_ps, _), outs = lax.scan(body, (ps0, key), None, length=num_steps)
     actions, rewards, dones = outs[:3]
     obs = outs[3] if collect_obs else None
     return Rollout(
         actions=actions,
         rewards=rewards,
         dones=dones,
-        final_states=final_states,
+        final_states=_step.states_from_planes(final_ps, states.dtype),
         obs=obs,
     )
 
