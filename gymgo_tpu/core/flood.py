@@ -408,6 +408,89 @@ else:  # hybrid (default): sweeps + exact dilation verify for minmax
     flood_or_best = flood_or_unrolled
 
 
+def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
+    """liberty_classes_bitpack + Trump-Taylor claim bits in the same flood.
+
+    Empty-region claim propagation is disjoint from stone propagation (a
+    cell pair is compatible iff same-region: a-a, b-b, or empty-empty), so
+    two extra word bits carry "region touches color_a / color_b" through the
+    very same packed OR-flood:
+
+      bits 0-8   OR of liberty codes (stones)
+      bits 9-17  OR of complemented liberty codes (stones)
+      bit 18     region touches color_a (empties)
+      bit 19     region touches color_b (empties)
+
+    Returns (one_lib, multi_lib, only_a, only_b): stone liberty classes and
+    the empty cells claimed exclusively by each color (gogame.py:275-300).
+    """
+    mask9 = jnp.int32((1 << 9) - 1)
+    bit_a = jnp.int32(1 << 18)
+    bit_b = jnp.int32(1 << 19)
+    stones = color_a | color_b
+    empty = ~stones
+    rows = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 1)
+    v = jnp.where(empty, rows * n + cols + 1, 0)
+    inv_v = jnp.where(empty, (~(rows * n + cols + 1)) & mask9, 0)
+    packed_cell = v | (inv_v << 9)
+
+    zero = jnp.int32(0)
+    dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    lib_seed = zero
+    touch_a = jnp.zeros(color_a.shape, jnp.bool_)
+    touch_b = jnp.zeros(color_a.shape, jnp.bool_)
+    for (dr, dc) in dirs:
+        f = jnp.zeros((), jnp.bool_)
+        lib_seed = lib_seed | shift(packed_cell, dr, dc, zero)
+        touch_a = touch_a | shift(color_a, dr, dc, f)
+        touch_b = touch_b | shift(color_b, dr, dc, f)
+    seed = jnp.where(stones, lib_seed, zero)
+    seed = seed | jnp.where(empty & touch_a, bit_a, zero)
+    seed = seed | jnp.where(empty & touch_b, bit_b, zero)
+
+    f = jnp.zeros((), jnp.bool_)
+    same = tuple(
+        jnp.where(
+            (color_a & shift(color_a, dr, dc, f))
+            | (color_b & shift(color_b, dr, dc, f))
+            | (empty & shift(empty, dr, dc, f)),
+            jnp.int32(-1),
+            zero,
+        )
+        for (dr, dc) in dirs
+    )
+
+    def substep(x, order):
+        for (dr, dc), same_d in order:
+            x = x | (shift(x, dr, dc, zero) & same_d)
+        return x
+
+    fwd = tuple(zip(dirs, same))
+    rev = tuple(reversed(fwd))
+
+    def body(carry):
+        x, _ = carry
+        nx = substep(x, fwd)
+        nx = substep(nx, rev)
+        nx = substep(nx, fwd)
+        nx = substep(nx, rev)
+        return nx, jnp.any(nx != x)
+
+    packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
+
+    or_bits = packed & mask9
+    and_bits = (~(packed >> 9)) & mask9
+    has_lib = or_bits != 0
+    one_lib = stones & has_lib & (or_bits == and_bits)
+    multi_lib = stones & has_lib & (or_bits != and_bits)
+    got_a = (packed & bit_a) != 0
+    got_b = (packed & bit_b) != 0
+    only_a = empty & got_a & ~got_b
+    only_b = empty & got_b & ~got_a
+    return one_lib, multi_lib, only_a, only_b
+
+
 def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     """(one_lib, multi_lib) bool maps per stone via ONE packed OR-flood.
 
@@ -490,3 +573,22 @@ else:
     liberty_classification_best = _functools.partial(
         liberty_classes_from_minmax, minmax_fn=flood_min_max_two_colors_best
     )
+
+
+def flood_bundle_from_parts(color_a, color_b, n):
+    """Bundle fallback: classification via the dispatched minmax variant plus
+    a separate two-bit claim flood (used when GYMGO_FLOOD != bitpack)."""
+    one_lib, multi_lib = liberty_classification_best(color_a, color_b, n)
+    empty = ~(color_a | color_b)
+    touch = jnp.where(empty & neighbor_or(color_a), jnp.uint8(1), jnp.uint8(0))
+    touch = touch | jnp.where(empty & neighbor_or(color_b), jnp.uint8(2), jnp.uint8(0))
+    touch = flood_or_best(touch, empty)
+    only_a = empty & (touch == 1)
+    only_b = empty & (touch == 2)
+    return one_lib, multi_lib, only_a, only_b
+
+
+if _IMPL == "bitpack":
+    flood_bundle_best = flood_bundle_bitpack
+else:
+    flood_bundle_best = flood_bundle_from_parts

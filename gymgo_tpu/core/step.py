@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from gymgo_tpu import govars
 from gymgo_tpu.core.flood import (
     flood_or_best as flood_or,
-    liberty_classification_best as liberty_classification,
+    flood_bundle_best as flood_bundle,
     neighbor_count_edge1,
     neighbor_or,
     shift,
@@ -85,6 +85,8 @@ class StepInfo(NamedTuple):
     invalid_action: jax.Array  # bool (B,): move hit INVD_CHNL or out of range
     was_done: jax.Array  # bool (B,): env was already finished at entry
     num_captured: jax.Array  # int32 (B,): opponent stones removed this step
+    black_area: jax.Array  # int32 (B,): Trump-Taylor area of the result state
+    white_area: jax.Array  # int32 (B,): (frozen envs report their unchanged state)
 
 
 class PlanesState(NamedTuple):
@@ -208,10 +210,27 @@ def step_planes(ps: PlanesState, actions: jax.Array):
 
     # Invalid-move mask for the next player, on the post-capture board:
     # classify every stone's group by distinct-liberty count (0 / 1 / >=2).
+    # Trump-Taylor claim bits ride the same flood (scoring is ~free), so the
+    # boards are frozen-resolved FIRST: frozen envs flood their unchanged
+    # state (classification output is discarded for them, but the areas must
+    # describe the state they actually keep).
+    frozen = done | invalid_action
+    fz = frozen[:, None, None]
+    mover = jnp.where(fz, black, mover)
+    opp = jnp.where(fz, white, opp)
+    mover_is_white = jnp.where(frozen, False, white_to_move)
+
     all_pieces = mover | opp
     empty = ~all_pieces
     cell_idx = rows * n + cols
-    one_lib, multi_lib = liberty_classification(mover, opp, n)
+    one_lib, multi_lib, only_mover, only_opp = flood_bundle(mover, opp, n)
+    mover_area = jnp.sum(
+        (mover | only_mover).reshape(b, -1), axis=1, dtype=jnp.int32
+    )
+    opp_area = jnp.sum((opp | only_opp).reshape(b, -1), axis=1, dtype=jnp.int32)
+    black_area = jnp.where(mover_is_white, opp_area, mover_area)
+    white_area = jnp.where(mover_is_white, mover_area, opp_area)
+
     atari_mover = mover & one_lib
     multi_mover = mover & multi_lib
     atari_opp = opp & one_lib
@@ -225,8 +244,6 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     invd = invd | ko_point
 
     # Frozen envs (finished, or invalid action) pass through unchanged.
-    frozen = done | invalid_action
-    fz = frozen[:, None, None]
     new_ps = PlanesState(
         black=jnp.where(fz, black, jnp.where(wtm, opp, mover)),
         white=jnp.where(fz, white, jnp.where(wtm, mover, opp)),
@@ -239,6 +256,8 @@ def step_planes(ps: PlanesState, actions: jax.Array):
         invalid_action=invalid_action,
         was_done=done,
         num_captured=jnp.where(frozen, 0, num_captured),
+        black_area=black_area,
+        white_area=white_area,
     )
     return new_ps, info
 

@@ -35,23 +35,13 @@ class StepResult(NamedTuple):
     num_captured: jax.Array  # int32 (B,): stones captured by this step
 
 
-def reward_fn(states: jax.Array, done: jax.Array, config: EnvConfig) -> jax.Array:
-    """Reward of the post-step state, mirroring go_env.py:128-149."""
+def reward_from_areas(black_area, white_area, done, config: EnvConfig):
+    """Reward from the step's fused Trump-Taylor areas (go_env.py:128-149)."""
     n = config.board_size
+    kc = black_area.astype(jnp.float32) - white_area.astype(jnp.float32) - config.komi
     if config.reward_method == REAL:
-        def scored(s):
-            return jnp.where(done, _score.winning(s, config.komi), 0.0)
-
-        # Areas are only needed once a game actually ends.
-        return lax.cond(
-            jnp.any(done),
-            scored,
-            lambda s: jnp.zeros(s.shape[0], jnp.float32),
-            states,
-        )
+        return jnp.where(done, jnp.sign(kc), 0.0)
     if config.reward_method == HEURISTIC:
-        black_area, white_area = _score.areas(states)
-        kc = black_area.astype(jnp.float32) - white_area.astype(jnp.float32) - config.komi
         end_reward = jnp.where(kc > 0, 1.0, -1.0) * (n * n)
         return jnp.where(done, end_reward, kc)
     raise ValueError(config.reward_method)
@@ -70,7 +60,7 @@ def batch_step(
         )
     new_states, info = _step.step_states(states, actions)
     done = _state.game_ended(new_states)
-    reward = reward_fn(new_states, done, config)
+    reward = reward_from_areas(info.black_area, info.white_area, done, config)
     return new_states, StepResult(
         obs=new_states,
         reward=reward,
@@ -89,25 +79,6 @@ class Rollout(NamedTuple):
     dones: jax.Array  # bool (T, B)
     final_states: jax.Array  # int8 (B, 6, N, N)
     obs: Optional[jax.Array] = None  # int8 (T, B, 6, N, N) when collected
-
-
-def _planes_reward(ps, done, config: EnvConfig):
-    n = config.board_size
-    if config.reward_method == REAL:
-        return lax.cond(
-            jnp.any(done),
-            lambda p: jnp.where(
-                done, _score.winning_planes(p.black, p.white, config.komi), 0.0
-            ),
-            lambda p: jnp.zeros(p.black.shape[0], jnp.float32),
-            ps,
-        )
-    if config.reward_method == HEURISTIC:
-        ba, wa = _score.areas_planes(ps.black, ps.white)
-        kc = ba.astype(jnp.float32) - wa.astype(jnp.float32) - config.komi
-        end_reward = jnp.where(kc > 0, 1.0, -1.0) * (n * n)
-        return jnp.where(done, end_reward, kc)
-    raise ValueError(config.reward_method)
 
 
 def rollout(
@@ -148,7 +119,7 @@ def rollout(
             acts = policy_fn(sub, _step.states_from_planes(ps))
         ps, info = _step.step_planes(ps, acts)
         done = ps.done
-        reward = _planes_reward(ps, done, config)
+        reward = reward_from_areas(info.black_area, info.white_area, done, config)
         out = (acts, reward, done) + (
             (_step.states_from_planes(ps),) if collect_obs else ()
         )
