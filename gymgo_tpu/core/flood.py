@@ -372,7 +372,11 @@ def liberty_classes_from_minmax(color_a, color_b, n, minmax_fn):
     has_lib = mn < big
     one_lib = stones & has_lib & (mn == mx)
     multi_lib = stones & (mn < mx)
-    return one_lib, multi_lib
+    # atari encoding: sole-liberty flat index + 1 for stones whose group has
+    # exactly one distinct liberty; 0 elsewhere (so zero-filled resets are
+    # self-consistent).  Consumed by the carried-capture fast path (step.py).
+    atari_enc = jnp.where(one_lib, (mn + 1).astype(jnp.int16), jnp.int16(0))
+    return one_lib, multi_lib, atari_enc
 
 
 # --------------------------------------------------------------------------
@@ -421,8 +425,10 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
       bit 18     region touches color_a (empties)
       bit 19     region touches color_b (empties)
 
-    Returns (one_lib, multi_lib, only_a, only_b): stone liberty classes and
-    the empty cells claimed exclusively by each color (gogame.py:275-300).
+    Returns (one_lib, multi_lib, only_a, only_b, atari_enc): stone liberty
+    classes, the empty cells claimed exclusively by each color
+    (gogame.py:275-300), and the per-stone atari encoding (sole-liberty flat
+    index + 1 when the group has exactly one distinct liberty, else 0).
     """
     mask9 = jnp.int32((1 << 9) - 1)
     bit_a = jnp.int32(1 << 18)
@@ -488,7 +494,10 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     got_b = (packed & bit_b) != 0
     only_a = empty & got_a & ~got_b
     only_b = empty & got_b & ~got_a
-    return one_lib, multi_lib, only_a, only_b
+    # or_bits for a one-liberty group IS its sole liberty's code (idx + 1),
+    # so the atari encoding falls out of the flood for free.
+    atari_enc = jnp.where(one_lib, or_bits.astype(jnp.int16), jnp.int16(0))
+    return one_lib, multi_lib, only_a, only_b, atari_enc
 
 
 def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
@@ -562,7 +571,8 @@ def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     has_lib = or_bits != 0
     one_lib = stones & has_lib & (or_bits == and_bits)
     multi_lib = stones & has_lib & (or_bits != and_bits)
-    return one_lib, multi_lib
+    atari_enc = jnp.where(one_lib, or_bits.astype(jnp.int16), jnp.int16(0))
+    return one_lib, multi_lib, atari_enc
 
 
 import functools as _functools
@@ -578,14 +588,14 @@ else:
 def flood_bundle_from_parts(color_a, color_b, n):
     """Bundle fallback: classification via the dispatched minmax variant plus
     a separate two-bit claim flood (used when GYMGO_FLOOD != bitpack)."""
-    one_lib, multi_lib = liberty_classification_best(color_a, color_b, n)
+    one_lib, multi_lib, atari_enc = liberty_classification_best(color_a, color_b, n)
     empty = ~(color_a | color_b)
     touch = jnp.where(empty & neighbor_or(color_a), jnp.uint8(1), jnp.uint8(0))
     touch = touch | jnp.where(empty & neighbor_or(color_b), jnp.uint8(2), jnp.uint8(0))
     touch = flood_or_best(touch, empty)
     only_a = empty & (touch == 1)
     only_b = empty & (touch == 2)
-    return one_lib, multi_lib, only_a, only_b
+    return one_lib, multi_lib, only_a, only_b, atari_enc
 
 
 if _IMPL == "bitpack":

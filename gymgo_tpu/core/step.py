@@ -76,6 +76,7 @@ __all__ = [
     "planes_from_states",
     "states_from_planes",
     "invalid_action_flags",
+    "init_atari",
 ]
 
 
@@ -105,6 +106,14 @@ class PlanesState(NamedTuple):
     white_to_move: jax.Array  # bool (B,)
     prev_passed: jax.Array  # bool (B,)
     done: jax.Array  # bool (B,)
+    # Optional carried-capture accelerator: int16 (B, N, N), per stone the
+    # flat index + 1 of its group's SOLE liberty when the group is in atari,
+    # 0 otherwise.  The previous step's classification flood produces it for
+    # free; with it, capture resolution needs no flood at all (a group dies
+    # iff its sole liberty is the point just played).  ``None`` (the default,
+    # e.g. from ``planes_from_states``) selects the stateless flood path.
+    # Zero-filling on auto-reset is consistent: an empty board has no stones.
+    atari: jax.Array | None = None
 
 
 def planes_from_states(states: jax.Array) -> PlanesState:
@@ -132,6 +141,17 @@ def states_from_planes(ps: PlanesState, dtype=jnp.int8) -> jax.Array:
         ],
         axis=1,
     ).astype(dtype)
+
+
+def init_atari(ps: PlanesState) -> jax.Array:
+    """Seed the carried-capture atari encoding for an arbitrary board.
+
+    One classification flood over the current position; every subsequent
+    ``step_planes`` refreshes the encoding for free (it falls out of the
+    step's own invalid-mask flood), so a rollout pays this exactly once.
+    """
+    n = ps.black.shape[-1]
+    return flood_bundle(ps.black, ps.white, n)[4]
 
 
 def invalid_action_flags(states, actions):
@@ -198,9 +218,20 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     )
 
     # Capture resolution: opponent stones whose group has no liberty die.
-    empty_after_place = ~(mover | opp)
-    has_lib = flood_or(opp & neighbor_or(empty_after_place), opp)
-    killed = opp & ~has_lib & ~is_pass[:, None, None]
+    # An opponent group loses its last liberty this step iff its sole
+    # liberty (pre-move) is exactly the placed point, so when the previous
+    # step's classification is carried (ps.atari) no flood is needed.
+    if ps.atari is None:
+        empty_after_place = ~(mover | opp)
+        has_lib = flood_or(opp & neighbor_or(empty_after_place), opp)
+        killed = opp & ~has_lib & ~is_pass[:, None, None]
+    else:
+        placed_enc = (board_idx + 1).astype(jnp.int16)
+        killed = (
+            opp
+            & (ps.atari == placed_enc[:, None, None])
+            & ~is_pass[:, None, None]
+        )
     opp = opp & ~killed
     num_captured = jnp.sum(killed.reshape(b, -1), axis=1, dtype=jnp.int32)
 
@@ -223,7 +254,9 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     all_pieces = mover | opp
     empty = ~all_pieces
     cell_idx = rows * n + cols
-    one_lib, multi_lib, only_mover, only_opp = flood_bundle(mover, opp, n)
+    one_lib, multi_lib, only_mover, only_opp, atari_enc = flood_bundle(
+        mover, opp, n
+    )
     mover_area = jnp.sum(
         (mover | only_mover).reshape(b, -1), axis=1, dtype=jnp.int32
     )
@@ -251,6 +284,9 @@ def step_planes(ps: PlanesState, actions: jax.Array):
         white_to_move=jnp.where(frozen, white_to_move, ~white_to_move),
         prev_passed=jnp.where(frozen, prev_passed, is_pass),
         done=jnp.where(frozen, done, done | (prev_passed & is_pass)),
+        # The bundle ran on the frozen-resolved board, so its atari encoding
+        # describes exactly the state every env keeps — no masking needed.
+        atari=None if ps.atari is None else atari_enc,
     )
     info = StepInfo(
         invalid_action=invalid_action,
