@@ -83,3 +83,38 @@ def test_turn_alternates_and_pass_always_valid():
         flipped = (new_turn != prev_turn) | (was_done == 1)
         assert np.all(flipped)
         prev_turn = new_turn
+
+
+def test_uniform_sampler_distribution():
+    """The k-th-valid sampler is uniform over {valid moves} + pass and never
+    emits an invalid action."""
+    from gymgo_tpu.core.actions import uniform_random_actions
+
+    n, b = 5, 8
+    env = BatchGoEnv(EnvConfig(board_size=n, batch_size=b, auto_reset=True))
+    states = env.reset()
+    key = jax.random.PRNGKey(42)
+    for _ in range(12):  # reach a mid-game position with a nontrivial mask
+        key, sub = jax.random.split(key)
+        states, _ = env.step(states, uniform_random_actions(sub, states))
+
+    invd = np.asarray(states[:, govars.INVD_CHNL].reshape(b, -1))
+    valid = np.concatenate([invd == 0, np.ones((b, 1), bool)], axis=1)
+
+    draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(7), draws)
+    acts = np.asarray(
+        jax.jit(jax.vmap(lambda k: uniform_random_actions(k, states)))(keys)
+    )  # (draws, b)
+    for i in range(b):
+        counts = np.bincount(acts[:, i], minlength=n * n + 1)
+        assert counts[~valid[i]].sum() == 0, "sampled an invalid action"
+        nv = int(valid[i].sum())
+        expect = draws / nv
+        got = counts[valid[i]]
+        # 4000 draws over <=26 outcomes: each bin ~N(expect, expect);
+        # 5.5 sigma two-sided keeps false-positive rate ~1e-6 per test run
+        sigma = np.sqrt(expect)
+        assert np.all(np.abs(got - expect) < 5.5 * sigma), (
+            f"env {i}: counts {got} vs expected {expect:.1f}"
+        )
