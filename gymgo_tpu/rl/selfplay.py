@@ -170,3 +170,43 @@ def selfplay_mcts_rollout(
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live
     )
+
+
+def selfplay_gumbel_rollout(
+    key: jax.Array,
+    states: jax.Array,
+    params,
+    apply_fn,
+    num_steps: int,
+    config: EnvConfig,
+    num_simulations: int = 32,
+    max_considered: int = 16,
+    **gumbel_kw,
+):
+    """Gumbel-AZ self-play: sequential-halving search actions with
+    completed-Q improved-policy targets (rl.gumbel_mcts) — a valid policy
+    improvement operator even at very small simulation budgets."""
+    from gymgo_tpu.rl.gumbel_mcts import run_gumbel_mcts
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        res = run_gumbel_mcts(
+            sub, st, params, apply_fn,
+            num_simulations=num_simulations, max_considered=max_considered,
+            komi=config.komi, **gumbel_kw,
+        )
+        canonical = _transform.batch_canonical_form(st)
+        mover_is_white = _state.turn(st) == 1
+        live = ~_state.game_ended(st)
+        new_st, _ = _batch_env.batch_step(st, res.actions, config)
+        return (new_st, k), (canonical, res.improved_policy, mover_is_white, live)
+
+    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+        body, (states, key), None, length=num_steps
+    )
+    z_black = _score.winning(final_states, config.komi)
+    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    return final_states, SelfPlayBatch(
+        obs=obs, policy_target=probs, value_target=z, mask=live
+    )

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--mcts-sims", type=int, default=0,
                     help=">0: full MCTS self-play with this simulation budget "
                          "per move; targets = visit-count policies")
+    ap.add_argument("--gumbel-sims", type=int, default=0,
+                    help=">0: Gumbel MCTS (sequential halving) self-play with "
+                         "this simulation budget; targets = completed-Q "
+                         "improved policies")
+    ap.add_argument("--gumbel-m", type=int, default=16,
+                    help="max root actions considered by sequential halving")
     ap.add_argument("--search-k", type=int, default=0,
                     help=">0: one-ply Gumbel lookahead self-play with this "
                          "many sampled actions; targets = improved policies")
@@ -63,6 +69,7 @@ def main():
     )
     from gymgo_tpu.rl.selfplay import (
         augment_symmetries,
+        selfplay_gumbel_rollout,
         selfplay_mcts_rollout,
         selfplay_search_rollout,
     )
@@ -87,7 +94,13 @@ def main():
 
     @jax.jit
     def selfplay_iter(key, states, params):
-        if args.mcts_sims > 0:
+        if args.gumbel_sims > 0:
+            final, batch = selfplay_gumbel_rollout(
+                key, states, params, net.apply, args.rollout_steps, env_cfg,
+                num_simulations=args.gumbel_sims,
+                max_considered=args.gumbel_m,
+            )
+        elif args.mcts_sims > 0:
             final, batch = selfplay_mcts_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_simulations=args.mcts_sims,
