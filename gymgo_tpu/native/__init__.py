@@ -29,16 +29,18 @@ def _build() -> str:
     so_path = os.path.join(_HERE, "_go_engine.so")
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", so_path, _SRC,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        detail = getattr(e, "stderr", str(e))
-        raise NativeUnavailable(f"native engine build failed: {detail}") from e
-    return so_path
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so_path, _SRC]
+    last = None
+    # OpenMP enables the batch-parallel path; fall back to serial if the
+    # toolchain lacks it.
+    for cmd in (base + ["-fopenmp"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return so_path
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            last = e
+    detail = getattr(last, "stderr", str(last))
+    raise NativeUnavailable(f"native engine build failed: {detail}") from last
 
 
 def load():
@@ -57,6 +59,17 @@ def load():
                 i8p, ctypes.c_int, ctypes.c_int, i32p, i8p, i32p,
             ]
             lib.gogo_batch_next_states.restype = ctypes.c_int
+            lib.gogo_batch_areas.argtypes = [
+                i8p, ctypes.c_int, ctypes.c_int, i32p, i32p,
+            ]
+            lib.gogo_batch_areas.restype = ctypes.c_int
+            lib.gogo_max_threads.argtypes = []
+            lib.gogo_max_threads.restype = ctypes.c_int
+            lib.gogo_set_threads.argtypes = [ctypes.c_int]
+            lib.gogo_set_threads.restype = None
+            threads = os.environ.get("GYMGO_NATIVE_THREADS")
+            if threads:
+                lib.gogo_set_threads(int(threads))
             _LIB = lib
     return _LIB
 
@@ -122,3 +135,26 @@ class NativeGoEngine:
             ctypes.byref(wa),
         )
         return ba.value, wa.value
+
+    def batch_areas(self, states):
+        """Trump-Taylor areas for a (B, 6, N, N) batch -> two int32 (B,)."""
+        s = _as_i8(states)
+        b = s.shape[0]
+        ba = np.empty((b,), dtype=np.int32)
+        wa = np.empty((b,), dtype=np.int32)
+        rc = self._lib.gogo_batch_areas(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            b,
+            self.n,
+            ba.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            wa.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        assert rc == 0
+        return ba, wa
+
+    @staticmethod
+    def max_threads() -> int:
+        """OpenMP worker count the batch paths will use (1 = serial build).
+
+        Override with GYMGO_NATIVE_THREADS or OMP_NUM_THREADS."""
+        return int(load().gogo_max_threads())

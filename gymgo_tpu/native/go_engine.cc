@@ -14,6 +14,10 @@
 #include <cstdint>
 #include <cstring>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr int BLACK = 0;
@@ -276,19 +280,56 @@ int gogo_areas(const int8_t* state, int n, int* black_area, int* white_area) {
   return 0;
 }
 
-// Batched convenience: steps `batch` states in place-independent fashion.
+// Batched stepping; envs are independent, so the loop parallelizes over
+// host cores when built with OpenMP (CPU-farm path; the guard keeps tiny
+// batches on one thread where fork/join overhead would dominate).
 // status[i] as in gogo_next_state.
 int gogo_batch_next_states(const int8_t* states, int batch, int n,
                            const int* actions, int8_t* out, int* status) {
   if (n < 2 || n > MAXN) return -1;
-  Engine e(n);
   const int stride = 6 * n * n;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (batch >= 32)
+#endif
   for (int i = 0; i < batch; ++i) {
+    Engine e(n);  // stateless apart from the size; scratch is stack-local
     status[i] = e.next_state(states + i * stride, actions[i], out + i * stride);
     if (status[i] != 0)  // frozen env: copy through unchanged
       std::memcpy(out + i * stride, states + i * stride, stride);
   }
   return 0;
+}
+
+// Batched Trump-Taylor scoring (parallel like batch stepping).
+int gogo_batch_areas(const int8_t* states, int batch, int n,
+                     int* black_areas, int* white_areas) {
+  if (n < 2 || n > MAXN) return -1;
+  const int stride = 6 * n * n;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (batch >= 32)
+#endif
+  for (int i = 0; i < batch; ++i) {
+    Engine e(n);
+    e.areas(states + i * stride, black_areas + i, white_areas + i);
+  }
+  return 0;
+}
+
+// Thread-control/observability for the OpenMP path; no-ops without OpenMP.
+int gogo_max_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+void gogo_set_threads(int k) {
+#ifdef _OPENMP
+  if (k > 0) omp_set_num_threads(k);
+#else
+  (void)k;
+#endif
 }
 
 }  // extern "C"

@@ -61,3 +61,34 @@ def test_native_batch_matches_facade():
         assert (status == 0).all()
         np.testing.assert_array_equal(jax_next.astype(np.int8), nat_next)
         states = jax_next
+
+
+def test_batch_parallel_matches_serial():
+    """OpenMP batch stepping (B >= 32 triggers the parallel loop) is
+    bit-identical to per-env single stepping, and batch_areas matches
+    per-env areas."""
+    import numpy as np
+
+    from gymgo_tpu.native import NativeGoEngine
+
+    n, b = 9, 128
+    eng = NativeGoEngine(n)
+    rng = np.random.default_rng(5)
+    states = np.zeros((b, 6, n, n), np.int8)
+    for t in range(40):
+        invd = states[:, 3].reshape(b, -1)
+        acts = np.empty((b,), np.int32)
+        for i in range(b):
+            valid = np.flatnonzero(invd[i] == 0)
+            k = rng.integers(0, valid.size + 1)
+            acts[i] = n * n if k == valid.size else valid[k]
+        out, status = eng.batch_next_states(states, acts)
+        for i in range(0, b, 17):  # spot-check against the single path
+            single, st = eng.next_state(states[i], int(acts[i]))
+            assert st == status[i]
+            np.testing.assert_array_equal(out[i], single)
+        states = out
+    ba, wa = eng.batch_areas(states)
+    for i in range(0, b, 13):
+        sb, sw = eng.areas(states[i])
+        assert (ba[i], wa[i]) == (sb, sw)
