@@ -455,21 +455,20 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     seed = seed | jnp.where(empty & touch_a, bit_a, zero)
     seed = seed | jnp.where(empty & touch_b, bit_b, zero)
 
+    # Loop-invariant per-direction gates, stored as bool (1 byte/cell): the
+    # while_loop re-reads them every substep, and the flood is HBM-bound —
+    # int32 {-1,0} masks cost 4x the traffic for the same select.
     f = jnp.zeros((), jnp.bool_)
     same = tuple(
-        jnp.where(
-            (color_a & shift(color_a, dr, dc, f))
-            | (color_b & shift(color_b, dr, dc, f))
-            | (empty & shift(empty, dr, dc, f)),
-            jnp.int32(-1),
-            zero,
-        )
+        (color_a & shift(color_a, dr, dc, f))
+        | (color_b & shift(color_b, dr, dc, f))
+        | (empty & shift(empty, dr, dc, f))
         for (dr, dc) in dirs
     )
 
     def substep(x, order):
         for (dr, dc), same_d in order:
-            x = x | (shift(x, dr, dc, zero) & same_d)
+            x = x | jnp.where(same_d, shift(x, dr, dc, zero), zero)
         return x
 
     fwd = tuple(zip(dirs, same))
@@ -539,18 +538,14 @@ def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
 
     f = jnp.zeros((), jnp.bool_)
     same = tuple(
-        jnp.where(
-            (color_a & shift(color_a, dr, dc, f))
-            | (color_b & shift(color_b, dr, dc, f)),
-            jnp.int32(-1),
-            zero,
-        )
+        (color_a & shift(color_a, dr, dc, f))
+        | (color_b & shift(color_b, dr, dc, f))
         for (dr, dc) in dirs
     )
 
     def substep(x, order):
         for (dr, dc), same_d in order:
-            x = x | (shift(x, dr, dc, zero) & same_d)
+            x = x | jnp.where(same_d, shift(x, dr, dc, zero), zero)
         return x
 
     fwd = tuple(zip(dirs, same))
