@@ -387,6 +387,9 @@ def liberty_classes_from_minmax(color_a, color_b, n, minmax_fn):
 # --------------------------------------------------------------------------
 
 _IMPL = _os.environ.get("GYMGO_FLOOD", "bitpack")
+# substeps fused per while iteration of the bitpack flood (alternating
+# fwd/rev direction order); extra substeps past the fixpoint are no-ops
+_BITPACK_UNROLL = int(_os.environ.get("GYMGO_BITPACK_UNROLL", "4"))
 
 if _IMPL == "simple":
     flood_or_best = flood_or
@@ -476,10 +479,9 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
 
     def body(carry):
         x, _ = carry
-        nx = substep(x, fwd)
-        nx = substep(nx, rev)
-        nx = substep(nx, fwd)
-        nx = substep(nx, rev)
+        nx = x
+        for u in range(_BITPACK_UNROLL):
+            nx = substep(nx, fwd if u % 2 == 0 else rev)
         return nx, jnp.any(nx != x)
 
     packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
@@ -553,10 +555,9 @@ def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
 
     def body(carry):
         x, _ = carry
-        nx = substep(x, fwd)
-        nx = substep(nx, rev)
-        nx = substep(nx, fwd)
-        nx = substep(nx, rev)
+        nx = x
+        for u in range(_BITPACK_UNROLL):
+            nx = substep(nx, fwd if u % 2 == 0 else rev)
         return nx, jnp.any(nx != x)
 
     packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
