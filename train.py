@@ -47,6 +47,13 @@ def main():
                          "search) against uniform random and log win rate")
     ap.add_argument("--eval-games", type=int, default=64)
     ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help=">0: also save the checkpoint every K iterations "
+                         "(fault-tolerance; resume with --resume)")
+    ap.add_argument("--resume", default="",
+                    help="checkpoint path to resume from (bit-exact "
+                         "continuation: params, optimizer, replay, env "
+                         "states, RNG and iteration counter all restore)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -142,9 +149,45 @@ def main():
             max_steps=3 * args.board * args.board,
         )
 
+    from gymgo_tpu.utils import checkpoint as ckpt
+
+    if args.checkpoint_every and not args.checkpoint:
+        print("warning: --checkpoint-every has no effect without --checkpoint",
+              flush=True)
+
     states = batch_init_state(args.envs, args.board)
+    start_iter = 0
+
+    def ckpt_tree():
+        return {
+            "params": train_state.params,
+            "opt_state": train_state.opt_state,
+            "step": train_state.step,
+            "buf": buf_state,
+            "env_states": states,
+            "key": key,
+            "iteration": jnp.asarray(start_iter),
+        }
+
+    if args.resume:
+        data = ckpt.restore_npz(args.resume, ckpt_tree())
+        train_state = train_state._replace(
+            params=data["params"], opt_state=data["opt_state"],
+            step=jnp.asarray(data["step"]),
+        )
+        buf_state = data["buf"]
+        states = jnp.asarray(data["env_states"])
+        key = jnp.asarray(data["key"])
+        start_iter = int(data["iteration"])
+        print(f"resumed from {args.resume} at iteration {start_iter}", flush=True)
+
+    def save(it_done):
+        nonlocal start_iter
+        start_iter = it_done
+        ckpt.save_npz(args.checkpoint, ckpt_tree())
+
     meter = Meter()
-    for it in range(args.iters):
+    for it in range(start_iter, args.iters):
         key, sp_key, lr_key = jax.random.split(key, 3)
         states, obs, pi, v, mask = selfplay_iter(sp_key, states, train_state.params)
         if args.augment:
@@ -169,20 +212,16 @@ def main():
                 f"{int(res.ties)}T, {int(res.unfinished)} unfinished)",
                 flush=True,
             )
+        if (
+            args.checkpoint
+            and args.checkpoint_every
+            and (it + 1) % args.checkpoint_every == 0
+        ):
+            save(it + 1)
+            print(f"  checkpoint saved at iteration {it + 1}", flush=True)
 
     if args.checkpoint:
-        from gymgo_tpu.utils import checkpoint as ckpt
-
-        ckpt.save_npz(
-            args.checkpoint,
-            {
-                "params": train_state.params,
-                "opt_state": train_state.opt_state,
-                "step": train_state.step,
-                "env_states": states,
-                "key": key,
-            },
-        )
+        save(args.iters)
         print(f"saved checkpoint to {args.checkpoint}")
 
 
