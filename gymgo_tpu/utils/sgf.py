@@ -1,13 +1,15 @@
-"""SGF (Smart Game Format) export for recorded trajectories.
+"""SGF (Smart Game Format) export and import for game records.
 
-Turns rollout action sequences into standard .sgf files readable by any Go
-client — the practical interchange format the reference lacks.  Handles
-batched rollouts (one game record per env, split at auto-reset boundaries).
+Export turns rollout action sequences into standard .sgf files readable by
+any Go client; import parses SGF text (main line) back into engine actions
+and can replay them through the exact single-state kernel — the practical
+interchange format the reference lacks.  Handles batched rollouts (one game
+record per env, split at auto-reset boundaries).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -75,3 +77,184 @@ def rollout_to_sgf_games(
 def save_sgf(path: str, sgf: str) -> None:
     with open(path, "w") as f:
         f.write(sgf)
+
+
+# ---------------------------------------------------------------------------
+# Import: SGF text -> actions -> replayed states
+# ---------------------------------------------------------------------------
+
+
+class SGFGame(NamedTuple):
+    board_size: int
+    komi: float
+    moves: List[tuple]  # [("B"|"W", action_int), ...] main line, in order
+    result: Optional[str]
+
+
+class SGFError(ValueError):
+    pass
+
+
+def _parse_nodes(text: str) -> List[dict]:
+    """Minimal SGF recursive-descent parse; returns the MAIN LINE nodes
+    (first branch at every variation point) as {prop: [values]} dicts.
+    Handles '\\]' escapes inside property values."""
+    i = 0
+    n = len(text)
+
+    def skip_ws(j):
+        while j < n and text[j].isspace():
+            j += 1
+        return j
+
+    i = skip_ws(i)
+    if i >= n or text[i] != "(":
+        raise SGFError("SGF must start with '('")
+
+    nodes: List[dict] = []
+
+    def parse_value(j):
+        # at '[': scan to unescaped ']'
+        j += 1
+        buf = []
+        while j < n:
+            ch = text[j]
+            if ch == "\\" and j + 1 < n:
+                buf.append(text[j + 1])
+                j += 2
+                continue
+            if ch == "]":
+                return "".join(buf), j + 1
+            buf.append(ch)
+            j += 1
+        raise SGFError("unterminated property value")
+
+    def parse_sequence(j, keep):
+        """Parse a '(' ... ')' gametree starting after '('; record nodes on
+        the main line iff keep.  Returns index after the closing ')'."""
+        j = skip_ws(j)
+        first_subtree = True
+        while j < n:
+            ch = text[j]
+            if ch == ";":
+                node: dict = {}
+                if keep:
+                    nodes.append(node)
+                j = skip_ws(j + 1)
+                while j < n and text[j].isalpha():
+                    p0 = j
+                    while j < n and text[j].isalpha():
+                        j += 1
+                    prop = text[p0:j].upper()
+                    j = skip_ws(j)
+                    vals = []
+                    while j < n and text[j] == "[":
+                        v, j = parse_value(j)
+                        vals.append(v)
+                        j = skip_ws(j)
+                    node[prop] = vals
+            elif ch == "(":
+                j = parse_sequence(j + 1, keep and first_subtree)
+                first_subtree = False
+            elif ch == ")":
+                return j + 1
+            elif ch.isspace():
+                j += 1
+            else:
+                raise SGFError(f"unexpected character {ch!r} at {j}")
+        raise SGFError("unterminated gametree")
+
+    parse_sequence(i + 1, True)
+    if not nodes:
+        raise SGFError("empty SGF")
+    return nodes
+
+
+def _coord_to_action(value: str, board_size: int) -> int:
+    if value == "" or (value == "tt" and board_size <= 19):
+        return board_size * board_size  # pass
+    if len(value) != 2:
+        raise SGFError(f"bad coordinate {value!r}")
+    c = _COORDS.index(value[0])
+    r = _COORDS.index(value[1])
+    if not (0 <= r < board_size and 0 <= c < board_size):
+        raise SGFError(f"coordinate {value!r} outside {board_size}x{board_size}")
+    return r * board_size + c
+
+
+def parse_sgf(text: str) -> SGFGame:
+    """Parse SGF text into (board_size, komi, main-line moves, result).
+
+    Supported: FF[3]/FF[4] single- or multi-node records, variations (main
+    line taken), escaped values, pass as ``[]`` or ``[tt]``.  Setup stones
+    (AB/AW/AE) are rejected — the engine replays games from an empty board.
+    """
+    nodes = _parse_nodes(text)
+    root = nodes[0]
+    for prop in ("AB", "AW", "AE"):
+        if any(prop in node for node in nodes):
+            raise SGFError("setup stones (AB/AW/AE) are not supported")
+    size = int(root.get("SZ", ["19"])[0] or 19)
+    try:
+        komi = float(root.get("KM", ["0"])[0] or 0.0)
+    except ValueError:
+        komi = 0.0
+    result = root.get("RE", [None])[0]
+    moves: List[tuple] = []
+    for node in nodes:
+        for color in ("B", "W"):
+            if color in node:
+                moves.append((color, _coord_to_action(node[color][0], size)))
+    return SGFGame(board_size=size, komi=komi, moves=moves, result=result)
+
+
+def replay_sgf(text: str):
+    """Parse and replay an SGF game through the exact engine.
+
+    Returns (SGFGame, states) where states is the list of (6, N, N) numpy
+    states after each move (states[0] = empty board).  Raises SGFError on
+    color-order violations and engine assertion on illegal moves — a strict
+    legality checker for external records.
+    """
+    from gymgo_tpu import gogame
+
+    game = parse_sgf(text)
+    state = gogame.init_state(game.board_size)
+    states = [state]
+    for i, (color, action) in enumerate(game.moves):
+        expect = "B" if gogame.turn(state) == 0 else "W"
+        if color != expect:
+            raise SGFError(
+                f"move {i}: {color} plays out of turn (expected {expect})"
+            )
+        state = gogame.next_state(state, action)
+        states.append(state)
+    return game, states
+
+
+def _main():  # pragma: no cover - exercised via CLI
+    """Replay an SGF record and print the final position + verdict.
+
+    Usage: python -m gymgo_tpu.utils.sgf game.sgf
+    Doubles as a strict legality checker for external records.
+    """
+    import argparse
+
+    from gymgo_tpu import gogame
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("path", help="SGF file to replay")
+    args = ap.parse_args()
+    with open(args.path) as f:
+        text = f.read()
+    game, states = replay_sgf(text)
+    print(gogame.str(states[-1]))
+    black, white = gogame.areas(states[-1])
+    print(
+        f"moves={len(game.moves)} komi={game.komi} "
+        f"areas B={black} W={white} recorded_result={game.result}"
+    )
+
+
+if __name__ == "__main__":
+    _main()

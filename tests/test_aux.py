@@ -115,3 +115,63 @@ def test_sgf_export():
     games = sgf.rollout_to_sgf_games(r.actions, r.dones, 5, env_index=0)
     for g in games:
         assert g.startswith("(;GM[1]") and g.endswith(")")
+
+
+def test_sgf_import_roundtrip():
+    """export -> parse -> replay reproduces the original final board."""
+    import jax
+    import numpy as np
+
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.env.batch_env import rollout
+    from gymgo_tpu.utils import sgf
+
+    cfg = EnvConfig(board_size=5, batch_size=8, auto_reset=True)
+    r = rollout(jax.random.PRNGKey(2), batch_init_state(8, 5), 120, cfg)
+    games = sgf.rollout_to_sgf_games(r.actions, r.dones, 5, komi=0.5)
+    assert games, "no completed game in 120 steps"
+    game, states = sgf.replay_sgf(games[0])
+    assert game.board_size == 5 and game.komi == 0.5
+    parsed = sgf.parse_sgf(games[0])
+    assert [a for _, a in parsed.moves] == [a for _, a in game.moves]
+    # the replayed game must END exactly when the record does (double pass)
+    final = states[-1]
+    assert final[5].sum() == 25  # DONE plane fully set
+    # colors alternate starting with black
+    assert [c for c, _ in game.moves][:2] == ["B", "W"]
+
+
+def test_sgf_import_features():
+    from gymgo_tpu.utils import sgf
+
+    # variations: main line is the first branch
+    s = "(;GM[1]SZ[5]KM[6.5];B[aa](;W[bb];B[cc])(;W[dd]))"
+    g = sgf.parse_sgf(s)
+    assert g.komi == 6.5
+    assert g.moves == [("B", 0), ("W", 6), ("B", 12)]
+    # pass conventions: [] and [tt]
+    g2 = sgf.parse_sgf("(;SZ[5];B[];W[tt])")
+    assert g2.moves == [("B", 25), ("W", 25)]
+    # escaped ']' inside a comment value must not break parsing
+    g3 = sgf.parse_sgf("(;SZ[5]C[tricky \\] bracket];B[ab])")
+    assert g3.moves == [("B", 5)]
+    # whitespace/newlines between tokens
+    g4 = sgf.parse_sgf("(;SZ[5]\n ;B[aa]\n ;W[ba]\n)")
+    assert len(g4.moves) == 2
+
+
+def test_sgf_import_rejections():
+    import pytest
+
+    from gymgo_tpu.utils import sgf
+
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[5]AB[aa];W[bb])")  # setup stones unsupported
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("not an sgf")
+    with pytest.raises(sgf.SGFError):
+        sgf.replay_sgf("(;SZ[5];W[aa])")  # white cannot move first
+    with pytest.raises(Exception):
+        # occupied-point replay must trip the engine's legality assert
+        sgf.replay_sgf("(;SZ[5];B[aa];W[aa])")
