@@ -1,0 +1,293 @@
+"""GTP (Go Text Protocol) engine front-end.
+
+Exposes the framework as a standard GTP engine so it can play inside any Go
+GUI or match harness (gogui, twogtp, ...) and against other engines — an
+interoperability surface the reference lacks entirely.  Protocol per the
+GTP v2 spec: line-oriented commands over stdin/stdout, responses prefixed
+``=`` (success) / ``?`` (failure), optional numeric command ids echoed.
+
+Stepping uses the native C++ engine when available (microsecond latency —
+exactly its purpose), falling back to the numpy facade.  ``genmove`` plays
+uniformly at random by default; with a trained checkpoint it uses the AZ
+net's masked policy (greedy) — enough to be a real opponent, while search
+integration stays one ``policy_fn`` swap away.
+
+Usage: python -m gymgo_tpu.utils.gtp [--boardsize 19] [--komi 7.5]
+       [--checkpoint ck.npz --channels 64 --blocks 3]
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from gymgo_tpu import govars
+
+_COLS = "ABCDEFGHJKLMNOPQRST"  # GTP column letters (no I)
+
+
+def _vertex_to_action(vertex: str, n: int) -> Optional[int]:
+    v = vertex.strip().upper()
+    if v == "PASS":
+        return n * n
+    if len(v) < 2 or v[0] not in _COLS[:n]:
+        return None
+    col = _COLS.index(v[0])
+    try:
+        row_1based = int(v[1:])
+    except ValueError:
+        return None
+    if not (1 <= row_1based <= n):
+        return None
+    # GTP rows count from the bottom; our row 0 is the top.
+    r = n - row_1based
+    return r * n + col
+
+
+def _action_to_vertex(action: int, n: int) -> str:
+    if action == n * n:
+        return "pass"
+    r, c = divmod(int(action), n)
+    return f"{_COLS[c]}{n - r}"
+
+
+class GTPEngine:
+    """Stateful GTP command processor (one game at a time)."""
+
+    def __init__(self, board_size: int = 19, komi: float = 7.5,
+                 genmove_fn: Optional[Callable] = None, seed: int = 0):
+        self.komi = komi
+        self._genmove_fn = genmove_fn
+        self._rng = np.random.default_rng(seed)
+        self._set_boardsize(board_size)
+
+    # -- state helpers ------------------------------------------------------
+
+    def _set_boardsize(self, n: int):
+        if not (2 <= n <= 19):
+            raise ValueError("unacceptable size")
+        self.n = n
+        try:
+            from gymgo_tpu.native import NativeGoEngine
+
+            self._native = NativeGoEngine(n)
+        except Exception:
+            self._native = None
+        self._clear()
+
+    def _clear(self):
+        self.state = np.zeros((6, self.n, self.n), np.int8)
+        self.history: List[np.ndarray] = []
+        self.moves: List[int] = []
+
+    def _turn(self) -> int:
+        return int(self.state[govars.TURN_CHNL, 0, 0])
+
+    def _step(self, action: int) -> bool:
+        """Apply a move; False if illegal/finished (state unchanged)."""
+        if self._native is not None:
+            new, status = self._native.next_state(self.state, action)
+            ok = status == 0
+        else:
+            from gymgo_tpu import gogame
+
+            try:
+                new = gogame.next_state(self.state.astype(np.float64), action)
+                new = new.astype(np.int8)
+                ok = True
+            except Exception:
+                ok = False
+        if ok:
+            self.history.append(self.state)
+            self.moves.append(action)
+            self.state = np.asarray(new, dtype=np.int8)
+        return ok
+
+    def _legal_actions(self) -> np.ndarray:
+        invd = self.state[govars.INVD_CHNL].reshape(-1)
+        acts = np.flatnonzero(invd == 0)
+        return np.concatenate([acts, [self.n * self.n]])
+
+    def _genmove(self) -> int:
+        if self._genmove_fn is not None:
+            return int(self._genmove_fn(self.state))
+        acts = self._legal_actions()
+        return int(self._rng.choice(acts))
+
+    # -- command dispatch ---------------------------------------------------
+
+    COMMANDS = (
+        "protocol_version", "name", "version", "known_command",
+        "list_commands", "quit", "boardsize", "clear_board", "komi",
+        "play", "genmove", "undo", "showboard", "final_score",
+    )
+
+    def handle(self, line: str):
+        """Process one GTP line -> (response_text, is_error, should_quit)."""
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return None, False, False
+        parts = line.split()
+        cmd_id = ""
+        if parts[0].isdigit():
+            cmd_id = parts[0]
+            parts = parts[1:]
+            if not parts:
+                return self._fmt(cmd_id, "unknown command", True), True, False
+        cmd, args = parts[0].lower(), parts[1:]
+
+        try:
+            if cmd == "protocol_version":
+                return self._fmt(cmd_id, "2"), False, False
+            if cmd == "name":
+                return self._fmt(cmd_id, "gymgo_tpu"), False, False
+            if cmd == "version":
+                return self._fmt(cmd_id, "1.0"), False, False
+            if cmd == "known_command":
+                known = bool(args) and args[0].lower() in self.COMMANDS
+                return self._fmt(cmd_id, "true" if known else "false"), False, False
+            if cmd == "list_commands":
+                return self._fmt(cmd_id, "\n".join(self.COMMANDS)), False, False
+            if cmd == "quit":
+                return self._fmt(cmd_id, ""), False, True
+            if cmd == "boardsize":
+                self._set_boardsize(int(args[0]))
+                return self._fmt(cmd_id, ""), False, False
+            if cmd == "clear_board":
+                self._clear()
+                return self._fmt(cmd_id, ""), False, False
+            if cmd == "komi":
+                self.komi = float(args[0])
+                return self._fmt(cmd_id, ""), False, False
+            if cmd == "play":
+                return self._cmd_play(cmd_id, args)
+            if cmd == "genmove":
+                return self._cmd_genmove(cmd_id, args)
+            if cmd == "undo":
+                if not self.history:
+                    return self._fmt(cmd_id, "cannot undo", True), True, False
+                self.state = self.history.pop()
+                self.moves.pop()
+                return self._fmt(cmd_id, ""), False, False
+            if cmd == "showboard":
+                from gymgo_tpu import gogame
+
+                board = gogame.str(self.state.astype(np.float64))
+                return self._fmt(cmd_id, "\n" + board), False, False
+            if cmd == "final_score":
+                return self._fmt(cmd_id, self._score_string()), False, False
+        except (ValueError, IndexError) as e:
+            return self._fmt(cmd_id, f"syntax error: {e}", True), True, False
+        return self._fmt(cmd_id, "unknown command", True), True, False
+
+    def _cmd_play(self, cmd_id, args):
+        if len(args) < 2:
+            return self._fmt(cmd_id, "syntax error", True), True, False
+        color = args[0].lower()[0]
+        want = 1 if color == "w" else 0
+        if color not in ("b", "w"):
+            return self._fmt(cmd_id, "syntax error", True), True, False
+        if want != self._turn():
+            # strict alternation: the engine state is Markov in the move
+            # sequence; out-of-turn play (handicap-style setup) unsupported
+            return self._fmt(cmd_id, "illegal move: out of turn", True), True, False
+        action = _vertex_to_action(args[1], self.n)
+        if action is None:
+            return self._fmt(cmd_id, "invalid vertex", True), True, False
+        if not self._step(action):
+            return self._fmt(cmd_id, "illegal move", True), True, False
+        return self._fmt(cmd_id, ""), False, False
+
+    def _cmd_genmove(self, cmd_id, args):
+        if not args or args[0].lower()[0] not in ("b", "w"):
+            return self._fmt(cmd_id, "syntax error", True), True, False
+        want = 1 if args[0].lower()[0] == "w" else 0
+        done = self.state[govars.DONE_CHNL, 0, 0] != 0
+        if done:  # game over: keep answering pass for either color
+            return self._fmt(cmd_id, "pass"), False, False
+        if want != self._turn():
+            return self._fmt(cmd_id, "illegal move: out of turn", True), True, False
+        action = self._genmove()
+        if not self._step(action):  # safety: fall back to pass
+            action = self.n * self.n
+            self._step(action)
+        return self._fmt(cmd_id, _action_to_vertex(action, self.n)), False, False
+
+    def _score_string(self) -> str:
+        if self._native is not None:
+            black, white = self._native.areas(self.state)
+        else:
+            from gymgo_tpu import gogame
+
+            black, white = gogame.areas(self.state.astype(np.float64))
+        diff = float(black) - float(white) - self.komi
+        if diff > 0:
+            return f"B+{diff:g}"
+        if diff < 0:
+            return f"W+{-diff:g}"
+        return "0"
+
+    @staticmethod
+    def _fmt(cmd_id: str, text: str, error: bool = False) -> str:
+        prefix = ("?" if error else "=") + (cmd_id if cmd_id else "")
+        return f"{prefix} {text}".rstrip() + "\n\n"
+
+
+def make_net_genmove(checkpoint: str, board_size: int, channels: int,
+                     blocks: int) -> Callable:
+    """Greedy masked-policy mover from a trained AZNet checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from gymgo_tpu.core import actions as _actions
+    from gymgo_tpu.core import transform as _transform
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.utils import checkpoint as ckpt
+
+    cfg = AZNetConfig(board_size=board_size, channels=channels, blocks=blocks)
+    net = AZNet(cfg)
+    template = {"params": init_params(jax.random.PRNGKey(0), cfg)}
+    params = ckpt.restore_npz(checkpoint, template)["params"]
+
+    @jax.jit
+    def pick(state):
+        states = state[None].astype(jnp.int8)
+        logits, _ = net.apply(params, _transform.batch_canonical_form(states))
+        valid = _actions.batch_valid_moves(states) > 0
+        return jnp.argmax(jnp.where(valid, logits, -jnp.inf), axis=-1)[0]
+
+    return lambda state: int(pick(jnp.asarray(state)))
+
+
+def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
+    import argparse
+
+    ap = argparse.ArgumentParser(description="gymgo_tpu GTP engine")
+    ap.add_argument("--boardsize", type=int, default=19)
+    ap.add_argument("--komi", type=float, default=7.5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default="",
+                    help="AZNet .npz checkpoint for genmove (else random)")
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    genmove_fn = None
+    if args.checkpoint:
+        genmove_fn = make_net_genmove(
+            args.checkpoint, args.boardsize, args.channels, args.blocks
+        )
+    eng = GTPEngine(args.boardsize, args.komi, genmove_fn, args.seed)
+    for line in sys.stdin:
+        resp, _err, should_quit = eng.handle(line)
+        if resp is not None:
+            sys.stdout.write(resp)
+            sys.stdout.flush()
+        if should_quit:
+            break
+
+
+if __name__ == "__main__":
+    main()
