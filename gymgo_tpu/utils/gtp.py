@@ -236,8 +236,10 @@ class GTPEngine:
 
 
 def make_net_genmove(checkpoint: str, board_size: int, channels: int,
-                     blocks: int) -> Callable:
-    """Greedy masked-policy mover from a trained AZNet checkpoint."""
+                     blocks: int, simulations: int = 0,
+                     komi: float = 7.5, seed: int = 0) -> Callable:
+    """Mover from a trained AZNet checkpoint: greedy masked policy, or
+    Gumbel MCTS (sequential halving) when ``simulations`` > 0."""
     import jax
     import jax.numpy as jnp
 
@@ -250,6 +252,25 @@ def make_net_genmove(checkpoint: str, board_size: int, channels: int,
     net = AZNet(cfg)
     template = {"params": init_params(jax.random.PRNGKey(0), cfg)}
     params = ckpt.restore_npz(checkpoint, template)["params"]
+
+    if simulations > 0:
+        from gymgo_tpu.rl.gumbel_mcts import run_gumbel_mcts
+
+        @jax.jit
+        def pick_search(key, state):
+            res = run_gumbel_mcts(
+                key, state[None].astype(jnp.int8), params, net.apply,
+                num_simulations=simulations, komi=komi,
+            )
+            return res.actions[0]
+
+        key_holder = [jax.random.PRNGKey(seed)]
+
+        def mover(state):
+            key_holder[0], sub = jax.random.split(key_holder[0])
+            return int(pick_search(sub, jnp.asarray(state)))
+
+        return mover
 
     @jax.jit
     def pick(state):
@@ -272,12 +293,16 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
                     help="AZNet .npz checkpoint for genmove (else random)")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--simulations", type=int, default=0,
+                    help=">0: genmove via Gumbel MCTS with this budget "
+                         "(requires --checkpoint)")
     args = ap.parse_args(argv)
 
     genmove_fn = None
     if args.checkpoint:
         genmove_fn = make_net_genmove(
-            args.checkpoint, args.boardsize, args.channels, args.blocks
+            args.checkpoint, args.boardsize, args.channels, args.blocks,
+            simulations=args.simulations, komi=args.komi, seed=args.seed,
         )
     eng = GTPEngine(args.boardsize, args.komi, genmove_fn, args.seed)
     for line in sys.stdin:
