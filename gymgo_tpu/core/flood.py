@@ -390,6 +390,8 @@ _IMPL = _os.environ.get("GYMGO_FLOOD", "bitpack")
 # substeps fused per while iteration of the bitpack flood (alternating
 # fwd/rev direction order); extra substeps past the fixpoint are no-ops
 _BITPACK_UNROLL = int(_os.environ.get("GYMGO_BITPACK_UNROLL", "4"))
+# gatepack jump distances, e.g. "12" -> (1, 2); ascending powers of two
+_GATEPACK_JUMPS = tuple(int(c) for c in _os.environ.get("GYMGO_JUMPS", "12"))
 
 if _IMPL == "simple":
     flood_or_best = flood_or
@@ -405,7 +407,7 @@ elif _IMPL == "unrolled":
 elif _IMPL == "split":
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_split
-elif _IMPL == "bitpack":
+elif _IMPL in ("bitpack", "gatepack"):
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled
 else:  # hybrid (default): sweeps + exact dilation verify for minmax
@@ -501,6 +503,122 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     return one_lib, multi_lib, only_a, only_b, atari_enc
 
 
+def flood_bundle_gatepack(
+    color_a: jax.Array,
+    color_b: jax.Array,
+    n: int,
+    jumps: tuple[int, ...] | None = None,
+    unroll: int | None = None,
+):
+    """``flood_bundle_bitpack`` with two HBM-traffic optimizations.
+
+    The bitpack flood loop is HBM-bound: each substep re-reads the int32
+    word (r+w) plus four separate 1-byte direction gates.  Here:
+
+      1. All gates ride ONE packed uint8/uint16 plane — the four direction
+         reads of a substep hit the same array at the same index, so the
+         fused loop body loads it once (4x less gate traffic).
+      2. Optional power-of-two JUMP gates: bit (j*4 + k) says "this cell can
+         receive from its neighbor at distance jumps[j] in direction k
+         through an unbroken same-class run" (class = black/white/empty;
+         distance-2s gates are built by doubling distance-s gates).  A
+         substep then moves information up to sum(jumps) cells per
+         direction for one word round-trip, cutting the loop trip count
+         ~len(jumps)-fold at steady state.
+
+    Exactness: every gated jump propagates strictly within same-class runs
+    (sound: the run is inside the 4-connected component), jump distance 1 is
+    always present (complete), and the while_loop exits only at the true
+    fixpoint — so the result is bit-identical to ``flood_bundle_bitpack``
+    (enforced by tests/test_flood_equivalence.py::test_bundle_variants_agree
+    and the reference-parity suite).
+    """
+    if jumps is None:
+        jumps = _GATEPACK_JUMPS
+    if unroll is None:
+        unroll = _BITPACK_UNROLL
+    mask9 = jnp.int32((1 << 9) - 1)
+    bit_a = jnp.int32(1 << 18)
+    bit_b = jnp.int32(1 << 19)
+    stones = color_a | color_b
+    empty = ~stones
+    rows = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, color_a.shape, color_a.ndim - 1)
+    v = jnp.where(empty, rows * n + cols + 1, 0)
+    inv_v = jnp.where(empty, (~(rows * n + cols + 1)) & mask9, 0)
+    packed_cell = v | (inv_v << 9)
+
+    zero = jnp.int32(0)
+    f = jnp.zeros((), jnp.bool_)
+    dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    lib_seed = zero
+    touch_a = jnp.zeros(color_a.shape, jnp.bool_)
+    touch_b = jnp.zeros(color_a.shape, jnp.bool_)
+    for (dr, dc) in dirs:
+        lib_seed = lib_seed | shift(packed_cell, dr, dc, zero)
+        touch_a = touch_a | shift(color_a, dr, dc, f)
+        touch_b = touch_b | shift(color_b, dr, dc, f)
+    seed = jnp.where(stones, lib_seed, zero)
+    seed = seed | jnp.where(empty & touch_a, bit_a, zero)
+    seed = seed | jnp.where(empty & touch_b, bit_b, zero)
+
+    nbits = 4 * len(jumps)
+    gdtype = jnp.uint8 if nbits <= 8 else jnp.uint16
+    gates = jnp.zeros(color_a.shape, gdtype)
+    plan = []  # per direction: ((roll_dr, roll_dc, bit_mask), ...) largest jump first
+    for k, (dr, dc) in enumerate(dirs):
+        g = (
+            (color_a & shift(color_a, dr, dc, f))
+            | (color_b & shift(color_b, dr, dc, f))
+            | (empty & shift(empty, dr, dc, f))
+        )
+        dist = 1
+        per_dir = []
+        for j, s in enumerate(jumps):
+            while dist < s:  # double: run of 2d = run of d + shifted run of d
+                g = g & shift(g, dist * dr, dist * dc, f)
+                dist *= 2
+            if dist != s:
+                raise ValueError("jumps must be ascending powers of two")
+            bit = j * 4 + k
+            gates = gates | jnp.where(g, gdtype(1 << bit), gdtype(0))
+            per_dir.append((s * dr, s * dc, gdtype(1 << bit)))
+        plan.append(tuple(reversed(per_dir)))
+
+    gzero = gdtype(0)
+
+    def substep(x, order):
+        for per_dir in order:
+            for (rdr, rdc, bit) in per_dir:
+                m = (gates & bit) != gzero
+                x = x | jnp.where(m, shift(x, rdr, rdc, zero), zero)
+        return x
+
+    fwd = tuple(plan)
+    rev = tuple(reversed(plan))
+
+    def body(carry):
+        x, _ = carry
+        nx = x
+        for u in range(unroll):
+            nx = substep(nx, fwd if u % 2 == 0 else rev)
+        return nx, jnp.any(nx != x)
+
+    packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
+
+    or_bits = packed & mask9
+    and_bits = (~(packed >> 9)) & mask9
+    has_lib = or_bits != 0
+    one_lib = stones & has_lib & (or_bits == and_bits)
+    multi_lib = stones & has_lib & (or_bits != and_bits)
+    got_a = (packed & bit_a) != 0
+    got_b = (packed & bit_b) != 0
+    only_a = empty & got_a & ~got_b
+    only_b = empty & got_b & ~got_a
+    atari_enc = jnp.where(one_lib, or_bits.astype(jnp.int16), jnp.int16(0))
+    return one_lib, multi_lib, only_a, only_b, atari_enc
+
+
 def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     """(one_lib, multi_lib) bool maps per stone via ONE packed OR-flood.
 
@@ -573,7 +691,7 @@ def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
 
 import functools as _functools
 
-if _IMPL == "bitpack":
+if _IMPL in ("bitpack", "gatepack"):
     liberty_classification_best = liberty_classes_bitpack
 else:
     liberty_classification_best = _functools.partial(
@@ -594,7 +712,9 @@ def flood_bundle_from_parts(color_a, color_b, n):
     return one_lib, multi_lib, only_a, only_b, atari_enc
 
 
-if _IMPL == "bitpack":
+if _IMPL == "gatepack":
+    flood_bundle_best = flood_bundle_gatepack
+elif _IMPL == "bitpack":
     flood_bundle_best = flood_bundle_bitpack
 else:
     flood_bundle_best = flood_bundle_from_parts

@@ -175,3 +175,49 @@ def test_split_variant_classification_agrees():
 
         for x, y in zip(classify(mn_r, mx_r), classify(mn_s, mx_s)):
             np.testing.assert_array_equal(x, y)
+
+
+def test_bundle_variants_agree():
+    """flood_bundle_bitpack, flood_bundle_gatepack (all jump sets), and the
+    from-parts fallback must produce identical (one_lib, multi_lib, only_a,
+    only_b, atari_enc) on random two-color boards."""
+    from gymgo_tpu.core.flood import (
+        flood_bundle_bitpack,
+        flood_bundle_from_parts,
+        flood_bundle_gatepack,
+    )
+
+    rng = np.random.default_rng(33)
+    for n in (5, 9, 19):
+        occ = rng.random((8, n, n))
+        a = jnp.asarray(occ < 0.35)
+        b = jnp.asarray((occ >= 0.35) & (occ < 0.7))
+        ref = flood_bundle_bitpack(a, b, n)
+        outs = [
+            flood_bundle_from_parts(a, b, n),
+            flood_bundle_gatepack(a, b, n, jumps=(1,)),
+            flood_bundle_gatepack(a, b, n, jumps=(1, 2)),
+            flood_bundle_gatepack(a, b, n, jumps=(1, 2, 4)),
+            flood_bundle_gatepack(a, b, n, jumps=(1, 2), unroll=2),
+        ]
+        for out in outs:
+            for r, o in zip(ref, out):
+                np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
+def test_bundle_gatepack_adversarial():
+    """Serpentine single-group worst case: long geodesic exercising the jump
+    gates across bends, plus an empty serpentine for the claim bits."""
+    from gymgo_tpu.core.flood import flood_bundle_bitpack, flood_bundle_gatepack
+
+    n = 19
+    serp = _serpentine_mask(n)
+    # board 0: serpentine black group; board 1: serpentine EMPTY corridor
+    # carved out of a full black board (claim-bit propagation path).
+    a = jnp.asarray(np.stack([serp, ~serp]))
+    b = jnp.zeros_like(a)
+    ref = flood_bundle_bitpack(a, b, n)
+    for jumps in ((1,), (1, 2), (1, 2, 4)):
+        out = flood_bundle_gatepack(a, b, n, jumps=jumps)
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
