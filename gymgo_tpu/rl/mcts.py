@@ -38,6 +38,38 @@ class MCTSResult(NamedTuple):
     root_visits: jax.Array  # int32 (B, A)
 
 
+class MCTSTree(NamedTuple):
+    """Array-encoded search forest (one tree per env), returned by
+    ``run_mcts(..., return_tree=True)`` for cross-move statistics reuse."""
+
+    node_states: jax.Array  # (B, M, 6, N, N)
+    node_done: jax.Array  # bool (B, M)
+    prior: jax.Array  # f32 (B, M, A)
+    visit: jax.Array  # int32 (B, M, A)
+    wsum: jax.Array  # f32 (B, M, A)
+    child: jax.Array  # int32 (B, M, A), -1 = unexpanded
+
+
+def played_child_stats(tree: MCTSTree, actions: jax.Array):
+    """Tree reuse across moves: (visit, wsum) of the root child reached by
+    ``actions`` — feed as ``warm_root`` to the NEXT ply's ``run_mcts``.
+
+    Stats are stored from each node mover's perspective, and the played
+    child's mover IS the next search's root mover, so they carry over
+    unchanged.  Unexpanded children yield zeros (cold start).  Callers must
+    zero the stats for envs that reset between plies (fresh board ≠ child).
+    """
+    b = actions.shape[0]
+    bidx = jnp.arange(b)
+    c = tree.child[bidx, 0, actions]
+    ok = (c >= 0)[:, None]
+    safe = jnp.maximum(c, 0)
+    return (
+        jnp.where(ok, tree.visit[bidx, safe], 0),
+        jnp.where(ok, tree.wsum[bidx, safe], 0.0),
+    )
+
+
 def _puct_scores(prior, visit, value_sum, c_puct):
     q = jnp.where(visit > 0, value_sum / jnp.maximum(visit, 1), 0.0)
     total = jnp.sum(visit, axis=-1, keepdims=True)
@@ -58,9 +90,33 @@ def run_mcts(
     dirichlet_alpha: float = 0.3,
     dirichlet_fraction: float = 0.25,
     temperature: float = 1.0,
-) -> MCTSResult:
+    num_parallel: int = 1,
+    warm_root=None,
+    return_tree: bool = False,
+):
     """Run PUCT search from each state in the batch.  ``apply_fn(params, s)
-    -> (logits, value)`` with value from the canonical mover's perspective."""
+    -> (logits, value)`` with value from the canonical mover's perspective.
+
+    ``num_parallel`` (K) enables leaf-parallel search with batched virtual
+    loss: each wave selects K paths per env — selections within a wave see
+    earlier paths' edges penalized by K virtual losses (visit+1, value −1
+    from the node mover's perspective), so the wave spreads over distinct
+    leaves — then expands and network-evaluates all B*K leaves in ONE
+    ``step_states`` + one ``apply_fn`` call, and backs up real values while
+    discarding the virtual losses.  This cuts the sequential net/step calls
+    K-fold (bigger MXU batches) at identical total simulation count; with
+    K=1 the virtual-loss terms are identically zero and the search is the
+    classic sequential PUCT.
+
+    ``warm_root`` = (visit (B, A) int32, wsum (B, A) f32) seeds the root
+    statistics — pass ``played_child_stats`` of the previous ply's tree to
+    reuse search effort across moves.  ``return_tree=True`` returns
+    ``(MCTSResult, MCTSTree)``.
+    """
+    if num_simulations % num_parallel != 0:
+        raise ValueError("num_simulations must be a multiple of num_parallel")
+    k_par = num_parallel
+    num_waves = num_simulations // k_par
     b = states.shape[0]
     n = states.shape[-1]
     a_size = n * n + 1
@@ -92,6 +148,10 @@ def run_mcts(
     visit = jnp.zeros((b, m, a_size), jnp.int32)
     wsum = jnp.zeros((b, m, a_size), jnp.float32)
     child = jnp.full((b, m, a_size), -1, jnp.int32)
+    if warm_root is not None:
+        warm_visit, warm_wsum = warm_root
+        visit = visit.at[:, 0].set(warm_visit.astype(jnp.int32))
+        wsum = wsum.at[:, 0].set(warm_wsum.astype(jnp.float32))
 
     def simulate(sim, tree):
         node_states, node_done, prior, visit, wsum, child = tree
@@ -133,58 +193,6 @@ def run_mcts(
             node, depth, path_n, path_a, _ = lax.while_loop(cond, body, init)
             return node, depth, path_n, path_a
 
-        sel_node, sel_depth, path_n, path_a = jax.vmap(select_one)(
-            jnp.zeros((b,), jnp.int32), prior, visit, wsum, child, node_done
-        )
-        # The edge to expand is the last on the path.
-        last = jnp.maximum(sel_depth - 1, 0)
-        exp_parent = jnp.take_along_axis(path_n, last[:, None], axis=1)[:, 0]
-        exp_action = jnp.take_along_axis(path_a, last[:, None], axis=1)[:, 0]
-        already = (
-            jnp.take_along_axis(
-                child[jnp.arange(b), exp_parent], exp_action[:, None], axis=1
-            )[:, 0]
-            >= 0
-        )  # terminal-node revisit: child exists but is done
-
-        # ---- expansion: one exact env step per env.
-        parent_states = node_states[jnp.arange(b), exp_parent]
-        new_states, info = _step.step_states(parent_states, exp_action)
-        slot = jnp.int32(sim + 1)
-        new_probs, new_values = masked_policy(new_states)
-        new_done = _state.game_ended(new_states)
-        terminal_value = jnp.where(
-            _state.turn(new_states) == 1,
-            -_score.winning(new_states, komi),
-            _score.winning(new_states, komi),
-        )
-        # leaf value from the LEAF mover's perspective
-        leaf_value = jnp.where(new_done, terminal_value, new_values)
-
-        write = ~already
-        bidx = jnp.arange(b)
-        node_states = node_states.at[bidx, slot].set(
-            jnp.where(write[:, None, None, None], new_states, node_states[:, slot])
-        )
-        node_done = node_done.at[:, slot].set(
-            jnp.where(write, new_done, node_done[:, slot])
-        )
-        prior = prior.at[bidx, slot].set(
-            jnp.where(write[:, None], new_probs, prior[:, slot])
-        )
-        child = child.at[bidx, exp_parent, exp_action].set(
-            jnp.where(write, slot, child[bidx, exp_parent, exp_action])
-        )
-        # Revisit of a terminal child: back up its exact outcome again.
-        revisit_node = child[bidx, exp_parent, exp_action]
-        revisit_states = node_states[bidx, revisit_node]
-        revisit_value = jnp.where(
-            _state.turn(revisit_states) == 1,
-            -_score.winning(revisit_states, komi),
-            _score.winning(revisit_states, komi),
-        )
-        leaf_value = jnp.where(already, revisit_value, leaf_value)
-
         # ---- backup along the path; value sign alternates per ply upward.
         # leaf_value is from the leaf mover's perspective; the edge into the
         # leaf belongs to the parent mover, i.e. -leaf_value at depth-1.
@@ -207,13 +215,108 @@ def run_mcts(
 
             return lax.fori_loop(0, max_depth, body, (p_visit, p_wsum))
 
-        visit, wsum = jax.vmap(backup_one)(
-            visit, wsum, path_n, path_a, sel_depth, leaf_value
+        # virtual loss: pretend each in-flight path's edges were visited and
+        # lost (node mover's perspective), so later selections in the same
+        # wave spread to different leaves.
+        def vloss_one(p_vn, path_n, path_a, depth):
+            def body(d, pv):
+                on_path = d < depth
+                node = jnp.maximum(path_n[d], 0)
+                act = jnp.maximum(path_a[d], 0)
+                return pv.at[node, act].add(jnp.where(on_path, 1, 0))
+
+            return lax.fori_loop(0, max_depth, body, p_vn)
+
+        # ---- K selections (batched virtual loss between them).
+        root0 = jnp.zeros((b,), jnp.int32)
+        if k_par == 1:
+            _, sel_depth, path_n, path_a = jax.vmap(select_one)(
+                root0, prior, visit, wsum, child, node_done
+            )
+            paths = [(sel_depth, path_n, path_a)]
+        else:
+            vn = jnp.zeros((b, m, a_size), jnp.int32)
+            paths = []
+            for k in range(k_par):
+                _, sel_depth, path_n, path_a = jax.vmap(select_one)(
+                    root0,
+                    prior,
+                    visit + vn,
+                    wsum - vn.astype(jnp.float32),
+                    child,
+                    node_done,
+                )
+                paths.append((sel_depth, path_n, path_a))
+                if k < k_par - 1:
+                    vn = jax.vmap(vloss_one)(vn, path_n, path_a, sel_depth)
+
+        # ---- batched expansion: the edge to expand is the last on each
+        # path; ONE exact env step + ONE network call covers all K waves'
+        # leaves (B*K rows).
+        bidx = jnp.arange(b)
+        exp_parents, exp_actions = [], []
+        for (sel_depth, path_n, path_a) in paths:
+            last = jnp.maximum(sel_depth - 1, 0)
+            exp_parents.append(
+                jnp.take_along_axis(path_n, last[:, None], axis=1)[:, 0]
+            )
+            exp_actions.append(
+                jnp.take_along_axis(path_a, last[:, None], axis=1)[:, 0]
+            )
+        parent_states = jnp.concatenate(
+            [node_states[bidx, p] for p in exp_parents], axis=0
         )
+        new_states_all, _ = _step.step_states(
+            parent_states, jnp.concatenate(exp_actions, axis=0)
+        )
+        new_probs_all, new_values_all = masked_policy(new_states_all)
+        new_done_all = _state.game_ended(new_states_all)
+        terminal_all = jnp.where(
+            _state.turn(new_states_all) == 1,
+            -_score.winning(new_states_all, komi),
+            _score.winning(new_states_all, komi),
+        )
+        # leaf value from the LEAF mover's perspective.  When the selected
+        # edge already has a child (terminal revisit, or a within-wave
+        # duplicate), re-stepping the parent reproduces that child's exact
+        # state, so leaf_all is the correct backup value in every case and
+        # ``already`` only gates the node writes.
+        leaf_all = jnp.where(new_done_all, terminal_all, new_values_all)
+
+        for k in range(k_par):
+            sel_depth, path_n, path_a = paths[k]
+            exp_parent, exp_action = exp_parents[k], exp_actions[k]
+            sl = slice(k * b, (k + 1) * b)
+            new_states = new_states_all[sl]
+            already = (
+                jnp.take_along_axis(
+                    child[bidx, exp_parent], exp_action[:, None], axis=1
+                )[:, 0]
+                >= 0
+            )
+            write = ~already
+            slot = sim * k_par + (k + 1)
+            node_states = node_states.at[bidx, slot].set(
+                jnp.where(
+                    write[:, None, None, None], new_states, node_states[bidx, slot]
+                )
+            )
+            node_done = node_done.at[bidx, slot].set(
+                jnp.where(write, new_done_all[sl], node_done[bidx, slot])
+            )
+            prior = prior.at[bidx, slot].set(
+                jnp.where(write[:, None], new_probs_all[sl], prior[bidx, slot])
+            )
+            child = child.at[bidx, exp_parent, exp_action].set(
+                jnp.where(write, slot, child[bidx, exp_parent, exp_action])
+            )
+            visit, wsum = jax.vmap(backup_one)(
+                visit, wsum, path_n, path_a, sel_depth, leaf_all[sl]
+            )
         return node_states, node_done, prior, visit, wsum, child
 
     tree = (node_states, node_done, prior, visit, wsum, child)
-    tree = lax.fori_loop(0, num_simulations, simulate, tree)
+    tree = lax.fori_loop(0, num_waves, simulate, tree)
     node_states, node_done, prior, visit, wsum, child = tree
 
     root_visits = visit[:, 0]
@@ -231,12 +334,15 @@ def run_mcts(
     actions = jax.random.categorical(
         pick_key, jnp.log(jnp.maximum(visit_policy, 1e-30)), axis=-1
     ).astype(jnp.int32)
-    return MCTSResult(
+    result = MCTSResult(
         actions=actions,
         visit_policy=visit_policy,
         root_value=root_q,
         root_visits=root_visits,
     )
+    if return_tree:
+        return result, MCTSTree(node_states, node_done, prior, visit, wsum, child)
+    return result
 
 
 def make_mcts_policy(params, apply_fn, num_simulations=32, **kw):

@@ -143,27 +143,52 @@ def selfplay_mcts_rollout(
     num_steps: int,
     config: EnvConfig,
     num_simulations: int = 32,
+    tree_reuse: bool = False,
     **mcts_kw,
 ):
     """Full-AZ self-play: MCTS action selection with visit-count policy
-    targets (rl.mcts)."""
-    from gymgo_tpu.rl.mcts import run_mcts
+    targets (rl.mcts).
+
+    ``tree_reuse=True`` carries the played root child's (visit, wsum)
+    statistics across plies (rl.mcts.played_child_stats), warm-starting
+    every search with the previous ply's effort; stats are dropped for
+    envs whose game ended (the next root is a fresh/terminal board).
+    Extra ``mcts_kw`` (e.g. ``num_parallel`` for virtual-loss waves) pass
+    through to ``run_mcts``.
+    """
+    from gymgo_tpu.rl.mcts import played_child_stats, run_mcts
+
+    b = states.shape[0]
+    a_size = config.board_size * config.board_size + 1
 
     def body(carry, _):
-        st, k = carry
+        st, warm, k = carry
         k, sub = jax.random.split(k)
-        res = run_mcts(
+        res, tree = run_mcts(
             sub, st, params, apply_fn,
-            num_simulations=num_simulations, komi=config.komi, **mcts_kw,
+            num_simulations=num_simulations, komi=config.komi,
+            warm_root=warm, return_tree=True, **mcts_kw,
         )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
         new_st, _ = _batch_env.batch_step(st, res.actions, config)
-        return (new_st, k), (canonical, res.visit_policy, mover_is_white, live)
+        if tree_reuse:
+            # Invalid when this root was already done (auto-reset means the
+            # tree stepped a board the env replaced) or the game just ended.
+            keep = (live & ~_state.game_ended(new_st))[:, None]
+            wv, ww = played_child_stats(tree, res.actions)
+            warm = (jnp.where(keep, wv, 0), jnp.where(keep, ww, 0.0))
+        return (new_st, warm, k), (
+            canonical, res.visit_policy, mover_is_white, live,
+        )
 
-    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
-        body, (states, key), None, length=num_steps
+    warm0 = (
+        jnp.zeros((b, a_size), jnp.int32),
+        jnp.zeros((b, a_size), jnp.float32),
+    )
+    (final_states, _, _), (obs, probs, mover_white, live) = lax.scan(
+        body, (states, warm0, key), None, length=num_steps
     )
     z_black = _score.winning(final_states, config.komi)
     z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])

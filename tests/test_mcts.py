@@ -70,3 +70,98 @@ def test_mcts_policy_in_rollout():
         jax.random.PRNGKey(2), states
     )
     assert r.actions.shape == (6, 2)
+
+
+def test_mcts_parallel_waves_legality_and_budget():
+    """num_parallel=K: same total simulation budget, K-fold fewer net
+    calls; root visit mass must still equal num_simulations and actions
+    stay legal."""
+    net, params = _net(5)
+    cfg = EnvConfig(board_size=5, batch_size=4, auto_reset=True)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    search = jax.jit(
+        lambda k, s: run_mcts(
+            k, s, params, net.apply, num_simulations=16, num_parallel=4
+        )
+    )
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        r = search(sub, states)
+        assert (np.asarray(r.root_visits).sum(axis=1) == 16).all()
+        pol = np.asarray(r.visit_policy)
+        np.testing.assert_allclose(pol.sum(-1), 1.0, rtol=1e-5)
+        states, res = env.step(states, r.actions)
+        assert not np.asarray(res.invalid_action).any()
+
+
+def test_mcts_parallel_finds_winning_pass():
+    """Virtual-loss waves must not break terminal-value exploitation."""
+    net, params = _net(5)
+    cfg = EnvConfig(board_size=5, batch_size=1)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    states, _ = env.step(states, jnp.asarray([12]))
+    states, _ = env.step(states, jnp.asarray([25]))
+    res = run_mcts(
+        jax.random.PRNGKey(0), states, params, net.apply,
+        num_simulations=40, num_parallel=4,
+        dirichlet_fraction=0.0, c_puct=1.0,
+    )
+    visits = np.asarray(res.root_visits[0])
+    assert visits.argmax() == 25, visits
+    assert float(res.root_value[0]) > 0.2
+
+
+def test_mcts_tree_reuse_across_moves():
+    """played_child_stats warm-starts the next ply: the reused root row is
+    exactly the previous search's child row, and the warmed search's root
+    visit total is warm + num_simulations."""
+    from gymgo_tpu.rl.mcts import played_child_stats
+
+    net, params = _net(5)
+    cfg = EnvConfig(board_size=5, batch_size=2)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    sims = 12
+    res, tree = run_mcts(
+        jax.random.PRNGKey(5), states, params, net.apply,
+        num_simulations=sims, return_tree=True,
+    )
+    wv, ww = played_child_stats(tree, res.actions)
+    bidx = np.arange(2)
+    c = np.asarray(tree.child)[bidx, 0, np.asarray(res.actions)]
+    for i in range(2):
+        if c[i] >= 0:
+            np.testing.assert_array_equal(
+                np.asarray(wv)[i], np.asarray(tree.visit)[i, c[i]]
+            )
+    states2, _ = env.step(states, res.actions)
+    res2 = run_mcts(
+        jax.random.PRNGKey(6), states2, params, net.apply,
+        num_simulations=sims, warm_root=(wv, ww),
+    )
+    expect = np.asarray(wv).sum(axis=1) + sims
+    np.testing.assert_array_equal(
+        np.asarray(res2.root_visits).sum(axis=1), expect
+    )
+
+
+def test_mcts_selfplay_rollout_reuse_and_waves():
+    """selfplay_mcts_rollout with tree_reuse + num_parallel must produce a
+    well-formed training batch and legal games end-to-end."""
+    from gymgo_tpu.rl.selfplay import selfplay_mcts_rollout
+
+    net, params = _net(5)
+    cfg = EnvConfig(board_size=5, batch_size=2, auto_reset=True)
+    final, batch = jax.jit(
+        lambda k, s: selfplay_mcts_rollout(
+            k, s, params, net.apply, 8, cfg,
+            num_simulations=8, num_parallel=4, tree_reuse=True,
+        )
+    )(jax.random.PRNGKey(11), batch_init_state(2, 5))
+    assert batch.obs.shape == (8, 2, 6, 5, 5)
+    pol = np.asarray(batch.policy_target)
+    np.testing.assert_allclose(pol.sum(-1), 1.0, rtol=1e-5)
+    assert set(np.unique(np.asarray(batch.value_target))) <= {-1.0, 0.0, 1.0}

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--mcts-sims", type=int, default=0,
                     help=">0: full MCTS self-play with this simulation budget "
                          "per move; targets = visit-count policies")
+    ap.add_argument("--mcts-par", type=int, default=1,
+                    help="leaf-parallel MCTS wave size (batched virtual "
+                         "loss); must divide --mcts-sims")
+    ap.add_argument("--mcts-reuse", action="store_true",
+                    help="reuse the played root child's search statistics "
+                         "across plies (tree reuse)")
     ap.add_argument("--gumbel-sims", type=int, default=0,
                     help=">0: Gumbel MCTS (sequential halving) self-play with "
                          "this simulation budget; targets = completed-Q "
@@ -111,6 +117,8 @@ def main():
             final, batch = selfplay_mcts_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_simulations=args.mcts_sims,
+                num_parallel=args.mcts_par,
+                tree_reuse=args.mcts_reuse,
             )
         elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
