@@ -48,8 +48,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_states(states: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a (B, 6, N, N) state batch with B sharded over the env axis."""
-    return jax.device_put(states, env_sharding(mesh, states.ndim))
+    """Place a (B, 6, N, N) state batch with B sharded over the env axis.
+
+    Works on multi-process (multi-host) meshes too: when the mesh spans
+    devices this process cannot address, the global array is assembled from
+    per-shard callbacks (every process passes the same full ``states``).
+    """
+    sharding = env_sharding(mesh, states.ndim)
+    local = all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    )
+    if local:
+        return jax.device_put(states, sharding)
+    arr = np.asarray(states)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
 def fold_env_keys(key: jax.Array, batch_size: int) -> jax.Array:

@@ -52,7 +52,7 @@ class ShardedGoEnv:
 
     def reset(self) -> jax.Array:
         states = _state.batch_init_state(self.config.batch_size, self.config.board_size)
-        return jax.device_put(states, self._state_sharding)
+        return _mesh.shard_states(states, self.mesh)
 
     def step(self, states, actions):
         return self._step(states, jnp.asarray(actions, jnp.int32))
