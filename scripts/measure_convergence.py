@@ -1,0 +1,192 @@
+"""Measure the per-env flood-convergence distribution at steady state.
+
+The bitpack classification flood (core/flood.py:flood_bundle_bitpack) runs
+under ONE `lax.while_loop` over the whole batch, so every step pays the
+BATCH-MAX trip count.  A Pallas kernel with a grid over env blocks could
+instead converge each block independently (per-block while loop in VMEM).
+This script quantifies the available win: for each of T consecutive
+steady-state steps it records every env's individual convergence substep
+count, then reports, per candidate block size K, the work ratio
+
+    sum_t mean_blocks(max_block conv) / sum_t max_batch(conv)
+
+i.e. the fraction of flood substep-work a per-block-convergent kernel would
+execute relative to the current batch-max loop (1.0 = no win).
+
+Run: timeout 900 python scripts/measure_convergence.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--board", type=int, default=19)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--warmup-steps", type=int, default=768)
+    ap.add_argument("--measure-steps", type=int, default=64)
+    ap.add_argument("--maxk", type=int, default=96, help="substep budget")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core import actions as _actions
+    from gymgo_tpu.core import step as _step
+    from gymgo_tpu.core.flood import shift
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.env.batch_env import rollout
+
+    n = args.board
+    cfg = EnvConfig(board_size=n, batch_size=args.batch,
+                    reward_method="heuristic", auto_reset=True)
+
+    def conv_counts(black, white):
+        """Per-env substep count until the bitpack bundle flood converges.
+
+        Mirrors flood_bundle_bitpack's seed/gates and its alternating
+        fwd/rev direction schedule so counts map 1:1 onto real substeps.
+        """
+        mask9 = jnp.int32((1 << 9) - 1)
+        bit_a = jnp.int32(1 << 18)
+        bit_b = jnp.int32(1 << 19)
+        stones = black | white
+        empty = ~stones
+        rows = lax.broadcasted_iota(jnp.int32, black.shape, black.ndim - 2)
+        cols = lax.broadcasted_iota(jnp.int32, black.shape, black.ndim - 1)
+        v = jnp.where(empty, rows * n + cols + 1, 0)
+        inv_v = jnp.where(empty, (~(rows * n + cols + 1)) & mask9, 0)
+        packed_cell = v | (inv_v << 9)
+        zero = jnp.int32(0)
+        f = jnp.zeros((), jnp.bool_)
+        dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+        seed = zero
+        touch_a = jnp.zeros(black.shape, jnp.bool_)
+        touch_b = jnp.zeros(black.shape, jnp.bool_)
+        for (dr, dc) in dirs:
+            seed = seed | shift(packed_cell, dr, dc, zero)
+            touch_a = touch_a | shift(black, dr, dc, f)
+            touch_b = touch_b | shift(white, dr, dc, f)
+        seed = jnp.where(stones, seed, zero)
+        seed = seed | jnp.where(empty & touch_a, bit_a, zero)
+        seed = seed | jnp.where(empty & touch_b, bit_b, zero)
+        same = tuple(
+            (black & shift(black, dr, dc, f))
+            | (white & shift(white, dr, dc, f))
+            | (empty & shift(empty, dr, dc, f))
+            for (dr, dc) in dirs
+        )
+        fwd = tuple(zip(dirs, same))
+        rev = tuple(reversed(fwd))
+
+        def substep(x, order):
+            for (dr, dc), same_d in order:
+                x = x | jnp.where(same_d, shift(x, dr, dc, zero), zero)
+            return x
+
+        # The real loop alternates fwd/rev per substep; bake two substeps
+        # (fwd then rev) per fori iteration to keep the schedule static.
+        def body2(k, carry):
+            x, conv = carry
+            x1 = substep(x, fwd)
+            ch1 = jnp.any((x1 != x).reshape(x.shape[0], -1), axis=1)
+            conv = jnp.where(ch1, 2 * k + 1, conv)
+            x2 = substep(x1, rev)
+            ch2 = jnp.any((x2 != x1).reshape(x.shape[0], -1), axis=1)
+            conv = jnp.where(ch2, 2 * k + 2, conv)
+            return (x2, conv)
+
+        conv0 = jnp.zeros((black.shape[0],), jnp.int32)
+        _, conv = lax.fori_loop(0, args.maxk // 2, body2, (seed, conv0))
+        return conv
+
+    def measure(key, states):
+        ps0 = _step.planes_from_states(states)
+        ps0 = ps0._replace(atari=_step.init_atari(ps0))
+
+        def body(carry, _):
+            ps, k = carry
+            k, sub = jax.random.split(k)
+            ps = jax.tree.map(
+                lambda x: jnp.where(
+                    ps.done.reshape((-1,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros_like(x), x),
+                ps,
+            )
+            acts = _actions.uniform_random_actions_planes(sub, ps)
+            ps, _info = _step.step_planes(ps, acts)
+            # post-step (black, white) IS the frozen-resolved post-capture
+            # board this step's bundle flooded
+            conv = conv_counts(ps.black, ps.white)
+            return (ps, k), conv
+
+        (_fps, _), convs = lax.scan(body, (ps0, key), None,
+                                    length=args.measure_steps)
+        return convs  # (T, B)
+
+    jit_measure = jax.jit(measure)
+
+    @jax.jit
+    def warm(key, states):
+        r = rollout(key, states, 64, cfg)
+        return r.final_states, jnp.sum(r.rewards)
+
+    key = jax.random.PRNGKey(0)
+    states = batch_init_state(args.batch, n)
+    log(f"backend={jax.default_backend()}")
+    t0 = time.perf_counter()
+    states, c = warm(key, states)
+    float(c)
+    log(f"warm compile+run {time.perf_counter()-t0:.1f}s")
+    for i in range((args.warmup_steps - 64) // 64):
+        states, c = warm(jax.random.fold_in(key, 1000 + i), states)
+    float(c)
+    log(f"warmup done {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    convs = np.asarray(jit_measure(jax.random.fold_in(key, 7), states))
+    log(f"measure done {time.perf_counter()-t0:.1f}s shape={convs.shape} "
+        f"max={convs.max()} (budget {args.maxk})")
+
+    if convs.max() >= args.maxk - 2:
+        log("WARNING: budget possibly exceeded; raise --maxk")
+
+    T, B = convs.shape
+    batch_max = convs.max(axis=1)  # (T,)
+    print(f"steady-state {n}x{n} B={B}, T={T} steps")
+    print(f"per-env conv substeps: mean={convs.mean():.1f} "
+          f"p50={np.percentile(convs,50):.0f} p90={np.percentile(convs,90):.0f} "
+          f"p99={np.percentile(convs,99):.0f} max={convs.max()}")
+    print(f"batch-max per step: mean={batch_max.mean():.1f} "
+          f"min={batch_max.min()} max={batch_max.max()}")
+    total_batchmax = batch_max.sum()
+    for K in (8, 16, 32, 64, 128, 256, 512, 1024, 4096):
+        if K > B:
+            continue
+        blocks = convs.reshape(T, B // K, K).max(axis=2)  # (T, nblocks)
+        work = blocks.mean(axis=1).sum()
+        print(f"block K={K:5d}: mean block-max={blocks.mean():6.1f}  "
+              f"work ratio vs batch-max={work/total_batchmax:.3f}")
+
+
+if __name__ == "__main__":
+    main()
