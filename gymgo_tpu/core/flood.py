@@ -390,6 +390,14 @@ _IMPL = _os.environ.get("GYMGO_FLOOD", "bitpack")
 # substeps fused per while iteration of the bitpack flood (alternating
 # fwd/rev direction order); extra substeps past the fixpoint are no-ops
 _BITPACK_UNROLL = int(_os.environ.get("GYMGO_BITPACK_UNROLL", "4"))
+# unchecked substep prefix before the convergence-checked while loop: the
+# operator is monotone+idempotent, so extra/early substeps never change the
+# fixpoint, but each while iteration pays a batch-wide reduction + scalar
+# sync — a prefix near the typical trip count skips most of those checks.
+_BITPACK_PREFIX = int(_os.environ.get("GYMGO_BITPACK_PREFIX", "16"))
+# benchmark-only ablation: run EXACTLY the prefix substeps and skip the
+# convergence loop (unsound results; used to decompose step cost)
+_BITPACK_FIXED_ONLY = _os.environ.get("GYMGO_BITPACK_FIXED_ONLY") == "1"
 # gatepack jump distances, e.g. "12" -> (1, 2); ascending powers of two
 _GATEPACK_JUMPS = tuple(int(c) for c in _os.environ.get("GYMGO_JUMPS", "12"))
 
@@ -407,7 +415,7 @@ elif _IMPL == "unrolled":
 elif _IMPL == "split":
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_split
-elif _IMPL in ("bitpack", "gatepack"):
+elif _IMPL in ("bitpack", "gatepack", "pallas"):
     flood_or_best = flood_or_unrolled
     flood_min_max_two_colors_best = flood_min_max_two_colors_unrolled
 else:  # hybrid (default): sweeps + exact dilation verify for minmax
@@ -486,7 +494,15 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
             nx = substep(nx, fwd if u % 2 == 0 else rev)
         return nx, jnp.any(nx != x)
 
-    packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
+    if _BITPACK_PREFIX:
+        def prefix_body(k, x):
+            x = substep(x, fwd)
+            return substep(x, rev)
+        seed = lax.fori_loop(0, _BITPACK_PREFIX // 2, prefix_body, seed)
+    if _BITPACK_FIXED_ONLY:
+        packed = seed
+    else:
+        packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
 
     or_bits = packed & mask9
     and_bits = (~(packed >> 9)) & mask9
@@ -691,7 +707,7 @@ def liberty_classes_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
 
 import functools as _functools
 
-if _IMPL in ("bitpack", "gatepack"):
+if _IMPL in ("bitpack", "gatepack", "pallas"):
     liberty_classification_best = liberty_classes_bitpack
 else:
     liberty_classification_best = _functools.partial(
@@ -712,9 +728,42 @@ def flood_bundle_from_parts(color_a, color_b, n):
     return one_lib, multi_lib, only_a, only_b, atari_enc
 
 
+def flood_bundle_pallas(color_a: jax.Array, color_b: jax.Array, n: int):
+    """``flood_bundle_bitpack`` computed by the per-block-convergent Pallas
+    kernel (ops/pallas_flood.py): a grid over small env blocks, each running
+    the same packed OR-flood to its OWN fixpoint in VMEM instead of the
+    batch-max trip count — ~2x less substep work at 19x19 B=4096 steady
+    state (see BENCHMARKS.md).  Bit-identical outputs: the kernel converges
+    the identical monotone operator, and the unpacking below is the same
+    algebra as flood_bundle_bitpack's."""
+    from gymgo_tpu.ops.pallas_flood import bundle_flood_pallas
+
+    tile = int(_os.environ.get("GYMGO_PALLAS_TILE", "16"))
+    interpret = jax.default_backend() != "tpu"
+    packed = bundle_flood_pallas(color_a, color_b, tile=tile, interpret=interpret)
+    mask9 = jnp.int32((1 << 9) - 1)
+    bit_a = jnp.int32(1 << 18)
+    bit_b = jnp.int32(1 << 19)
+    stones = color_a | color_b
+    empty = ~stones
+    or_bits = packed & mask9
+    and_bits = (~(packed >> 9)) & mask9
+    has_lib = or_bits != 0
+    one_lib = stones & has_lib & (or_bits == and_bits)
+    multi_lib = stones & has_lib & (or_bits != and_bits)
+    got_a = (packed & bit_a) != 0
+    got_b = (packed & bit_b) != 0
+    only_a = empty & got_a & ~got_b
+    only_b = empty & got_b & ~got_a
+    atari_enc = jnp.where(one_lib, or_bits.astype(jnp.int16), jnp.int16(0))
+    return one_lib, multi_lib, only_a, only_b, atari_enc
+
+
 if _IMPL == "gatepack":
     flood_bundle_best = flood_bundle_gatepack
 elif _IMPL == "bitpack":
     flood_bundle_best = flood_bundle_bitpack
+elif _IMPL == "pallas":
+    flood_bundle_best = flood_bundle_pallas
 else:
     flood_bundle_best = flood_bundle_from_parts

@@ -54,6 +54,8 @@ reproduces gogame.py:72-75.
 
 from __future__ import annotations
 
+import os as _os
+
 from typing import NamedTuple
 
 import jax
@@ -66,6 +68,12 @@ from gymgo_tpu.core.flood import (
     neighbor_count_edge1,
     neighbor_or,
     shift,
+)
+
+# benchmark-only ablation switches (comma list): skip step components to
+# decompose per-step cost; results are WRONG with any of these set.
+_ABLATE = frozenset(
+    x for x in _os.environ.get("GYMGO_ABLATE", "").split(",") if x
 )
 
 __all__ = [
@@ -179,21 +187,13 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     is_pass = actions == pass_idx
     oob = (actions < 0) | (actions > pass_idx)
     board_idx = jnp.clip(actions, 0, pass_idx - 1)
-    hit = (
-        jnp.take_along_axis(
-            ps.invd.reshape(b, -1), board_idx[:, None], axis=1
-        )[:, 0]
-    )
-    invalid_action = oob | (~is_pass & hit)
     row = board_idx // n
     col = board_idx % n
 
-    # Mover / opponent planes (per-env select on the turn bit).
-    wtm = white_to_move[:, None, None]
-    mover = jnp.where(wtm, white, black)
-    opp = jnp.where(wtm, black, white)
-
-    # Place the stone (no-op for pass envs).
+    # One-hot placement mask (all-false for pass envs).  Doubles as the
+    # "value at the played point" probe: gathers (take_along_axis) cost
+    # ~70us each on TPU at B=4096 while a masked any-reduce over an
+    # already-materialized mask is ~3x cheaper and fuses with neighbors.
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
     place = (
@@ -201,21 +201,32 @@ def step_planes(ps: PlanesState, actions: jax.Array):
         & (cols == col[:, None, None])
         & ~is_pass[:, None, None]
     )
+
+    def at_place(plane):
+        return jnp.any((plane & place).reshape(b, -1), axis=1)
+
+    if "hit" in _ABLATE:
+        invalid_action = oob
+    else:
+        invalid_action = oob | at_place(ps.invd)
+
+    # Mover / opponent planes (per-env select on the turn bit).
+    wtm = white_to_move[:, None, None]
+    mover = jnp.where(wtm, white, black)
+    opp = jnp.where(wtm, black, white)
     mover = mover | place
 
     # Ko probe: all in-bounds neighbors of the move hold opponent stones,
     # evaluated pre-capture with board edges counting as satisfied
     # (state_utils.py:214-223 keeps only in-bounds neighbors).
-    t = jnp.ones((), jnp.bool_)
-    surrounded_map = (
-        shift(opp, 1, 0, t) & shift(opp, -1, 0, t) & shift(opp, 0, 1, t) & shift(opp, 0, -1, t)
-    )
-    surrounded_pre = (
-        jnp.take_along_axis(
-            surrounded_map.reshape(b, -1), board_idx[:, None], axis=1
-        )[:, 0]
-        & ~is_pass
-    )
+    if "ko" in _ABLATE:
+        surrounded_pre = is_pass
+    else:
+        t = jnp.ones((), jnp.bool_)
+        surrounded_map = (
+            shift(opp, 1, 0, t) & shift(opp, -1, 0, t) & shift(opp, 0, 1, t) & shift(opp, 0, -1, t)
+        )
+        surrounded_pre = at_place(surrounded_map)
 
     # Capture resolution: opponent stones whose group has no liberty die.
     # An opponent group loses its last liberty this step iff its sole
@@ -233,11 +244,17 @@ def step_planes(ps: PlanesState, actions: jax.Array):
             & ~is_pass[:, None, None]
         )
     opp = opp & ~killed
-    num_captured = jnp.sum(killed.reshape(b, -1), axis=1, dtype=jnp.int32)
+    if "capsum" in _ABLATE:
+        num_captured = jnp.zeros((b,), jnp.int32)
+    else:
+        num_captured = jnp.sum(killed.reshape(b, -1), axis=1, dtype=jnp.int32)
 
     # Simple ko: exactly one stone captured and the move was surrounded.
     ko_active = (num_captured == 1) & surrounded_pre
-    ko_flat = jnp.argmax(killed.reshape(b, -1), axis=1)
+    if "argmax" in _ABLATE:
+        ko_flat = jnp.zeros((b,), jnp.int32)
+    else:
+        ko_flat = jnp.argmax(killed.reshape(b, -1), axis=1)
 
     # Invalid-move mask for the next player, on the post-capture board:
     # classify every stone's group by distinct-liberty count (0 / 1 / >=2).
@@ -254,27 +271,50 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     all_pieces = mover | opp
     empty = ~all_pieces
     cell_idx = rows * n + cols
-    one_lib, multi_lib, only_mover, only_opp, atari_enc = flood_bundle(
-        mover, opp, n
-    )
-    mover_area = jnp.sum(
-        (mover | only_mover).reshape(b, -1), axis=1, dtype=jnp.int32
-    )
-    opp_area = jnp.sum((opp | only_opp).reshape(b, -1), axis=1, dtype=jnp.int32)
+    if "bundle" in _ABLATE:
+        one_lib, multi_lib, only_mover, only_opp = mover | opp, empty, empty, empty
+        atari_enc = jnp.zeros((b, n, n), jnp.int16)
+    else:
+        one_lib, multi_lib, only_mover, only_opp, atari_enc = flood_bundle(
+            mover, opp, n
+        )
+    if "areas" in _ABLATE:
+        mover_area = opp_area = jnp.zeros((b,), jnp.int32)
+    else:
+        mover_area = jnp.sum(
+            (mover | only_mover).reshape(b, -1), axis=1, dtype=jnp.int32
+        )
+        opp_area = jnp.sum((opp | only_opp).reshape(b, -1), axis=1, dtype=jnp.int32)
     black_area = jnp.where(mover_is_white, opp_area, mover_area)
     white_area = jnp.where(mover_is_white, mover_area, opp_area)
 
-    atari_mover = mover & one_lib
-    multi_mover = mover & multi_lib
-    atari_opp = opp & one_lib
-    multi_opp = opp & multi_lib
-
-    possible = empty & (neighbor_or(multi_mover) | neighbor_or(atari_opp))
-    definite = neighbor_or(atari_mover) | neighbor_or(multi_opp)
-    surrounded_cells = neighbor_count_edge1(all_pieces) == 4
-    invd = all_pieces | (possible & ~definite & surrounded_cells)
-    ko_point = (cell_idx == ko_flat[:, None, None]) & ko_active[:, None, None]
-    invd = invd | ko_point
+    if "invd" in _ABLATE:
+        invd = all_pieces
+    else:
+        # One packed uint8 dilation replaces four bool neighbor_or's plus
+        # the edge-as-wall surround count (state_utils.py:64-82's algebra,
+        # bit-exactly).  Bits: 0 atari_mover, 1 multi_mover, 2 atari_opp,
+        # 3 multi_opp, 4 empty.  The reference's ``convolve(all_pieces,
+        # cross, cval=1) == 4`` test is equivalent to "no in-bounds
+        # neighbor is empty", i.e. bit 4 of the zero-filled OR-dilation is
+        # clear — an AND-dilation with edges-true by De Morgan.
+        z8 = jnp.uint8(0)
+        cls = jnp.where(one_lib, jnp.uint8(1), jnp.where(multi_lib, jnp.uint8(2), z8))
+        packed_cls = jnp.where(
+            mover, cls, jnp.where(opp, cls << 2, jnp.uint8(16))
+        )
+        dil = (
+            shift(packed_cls, 1, 0, z8)
+            | shift(packed_cls, -1, 0, z8)
+            | shift(packed_cls, 0, 1, z8)
+            | shift(packed_cls, 0, -1, z8)
+        )
+        possible = empty & ((dil & jnp.uint8(6)) != 0)   # nb multi_mover|atari_opp
+        definite = (dil & jnp.uint8(9)) != 0             # nb atari_mover|multi_opp
+        surrounded_cells = (dil & jnp.uint8(16)) == 0
+        invd = all_pieces | (possible & ~definite & surrounded_cells)
+        ko_point = (cell_idx == ko_flat[:, None, None]) & ko_active[:, None, None]
+        invd = invd | ko_point
 
     # Frozen envs (finished, or invalid action) pass through unchanged.
     new_ps = PlanesState(

@@ -114,7 +114,10 @@ def rollout(
                 ps,
             )
         if policy_fn is None:
-            acts = _actions.uniform_random_actions_planes(sub, ps)
+            if "sampler" in _step._ABLATE:
+                acts = jnp.zeros(ps.done.shape, jnp.int32)
+            else:
+                acts = _actions.uniform_random_actions_planes(sub, ps)
         else:
             acts = policy_fn(sub, _step.states_from_planes(ps))
         ps, info = _step.step_planes(ps, acts)

@@ -27,7 +27,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["minmax_liberty_flood_pallas"]
+__all__ = ["minmax_liberty_flood_pallas", "bundle_flood_pallas"]
 
 
 def _kernel(mover_ref, opp_ref, mn_ref, mx_ref, *, n: int):
@@ -142,3 +142,134 @@ def minmax_liberty_flood_pallas(
         interpret=interpret,
     )(mover_f, opp_f)
     return mn.reshape(b, n, n), mx.reshape(b, n, n)
+
+
+# ---------------------------------------------------------------------------
+# Per-block-convergent bitpack bundle flood
+# ---------------------------------------------------------------------------
+#
+# The production classification flood (flood.flood_bundle_bitpack) runs ONE
+# lax.while_loop over the whole batch, so every step pays the BATCH-MAX trip
+# count.  Measured at 19x19 B=4096 steady state (scripts/measure_convergence.py):
+# batch-max ~36 substeps/step while the per-env mean is ~10; blocks of 8-32
+# envs converge in ~19-24 substeps.  SPMD/XLA cannot express per-board early
+# exit — a Pallas grid over small env blocks can: each grid step holds its
+# boards in VMEM, runs the SAME packed OR-flood to its own fixpoint, and
+# writes the converged word once.  Substep op count matches the XLA loop
+# (4 x roll+select+or on one int32 word, gates held on-chip), so the ~2x
+# trip-count reduction is pure win if per-grid-step overhead stays small.
+
+
+def _bundle_kernel(mover_ref, opp_ref, out_ref, *, n: int, unroll: int):
+    m = n * n
+    mask9 = jnp.int32((1 << 9) - 1)
+    bit_a = jnp.int32(1 << 18)
+    bit_b = jnp.int32(1 << 19)
+    zero = jnp.int32(0)
+
+    mover = mover_ref[:]  # int32 0/1 (TILE, m)
+    opp = opp_ref[:]
+    stones = (mover | opp) != 0
+    empty = ~stones
+
+    tile = mover.shape[0]
+    flat = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    col = flat % n
+
+    # out[j] receives from j - roll; same direction order as the XLA
+    # bitpack flood: ((1,0),(-1,0),(0,1),(0,-1)) == rolls (n,-n,1,-1).
+    dirs = (
+        (n, None),
+        (-n, None),
+        (1, col > 0),
+        (-1, col < n - 1),
+    )
+
+    def rolled(x, roll, ok, fill):
+        y = pltpu.roll(x, roll % m, axis=1)
+        row_ok = (flat >= roll) if roll > 0 else (flat < m + roll)
+        valid = row_ok if ok is None else (row_ok & ok)
+        return jnp.where(valid, y, fill)
+
+    # Liberty-cell codes on empty cells: OR bits (idx+1) and De-Morgan AND
+    # bits (~(idx+1) & mask9) share one word — see flood_bundle_bitpack.
+    v = jnp.where(empty, flat + 1, 0)
+    inv_v = jnp.where(empty, (~(flat + 1)) & mask9, 0)
+    packed_cell = v | (inv_v << 9)
+
+    # Mosaic's lane-rotate needs 32-bit data: class planes roll as int32
+    # 0/1 and gate booleans come from comparisons afterwards.
+    mover_b = mover != 0
+    opp_b = opp != 0
+    empty_i = 1 - (mover | opp)
+    seed = zero
+    touch_a = jnp.zeros((tile, m), jnp.bool_)
+    touch_b = jnp.zeros((tile, m), jnp.bool_)
+    gates = []
+    for (roll, ok) in dirs:
+        seed = seed | rolled(packed_cell, roll, ok, zero)
+        ra = rolled(mover, roll, ok, zero) != 0
+        rb = rolled(opp, roll, ok, zero) != 0
+        re = rolled(empty_i, roll, ok, zero) != 0
+        touch_a = touch_a | ra
+        touch_b = touch_b | rb
+        gates.append((mover_b & ra) | (opp_b & rb) | (empty & re))
+    seed = jnp.where(stones, seed, zero)
+    seed = seed | jnp.where(empty & touch_a, bit_a, zero)
+    seed = seed | jnp.where(empty & touch_b, bit_b, zero)
+
+    fwd = tuple(zip(dirs, gates))
+    rev = tuple(reversed(fwd))
+
+    def substep(x, order):
+        for ((roll, _ok), gate) in order:
+            # no boundary masking on the value roll: gates are already
+            # False across row/board edges
+            y = pltpu.roll(x, roll % m, axis=1)
+            x = x | jnp.where(gate, y, zero)
+        return x
+
+    def body(c):
+        x, _ = c
+        nx = x
+        for u in range(unroll):
+            nx = substep(nx, fwd if u % 2 == 0 else rev)
+        return nx, jnp.any(nx != x)
+
+    packed, _ = lax.while_loop(lambda c: c[1], body, (seed, jnp.array(True)))
+    out_ref[:] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "unroll", "interpret"))
+def bundle_flood_pallas(
+    mover: jax.Array,
+    opp: jax.Array,
+    tile: int = 16,
+    unroll: int = 4,
+    interpret: bool = False,
+):
+    """Converged bitpack bundle word, int32 (B, N, N).
+
+    Bit-identical to the while-loop fixpoint of flood.flood_bundle_bitpack
+    (bits 0-8 OR of liberty codes, 9-17 OR of complements, 18/19 region
+    claim bits); computed with per-``tile``-envs convergence instead of
+    batch-max.  ``mover``/``opp`` are bool/int8 stone planes (B, N, N).
+    """
+    b, n, _ = mover.shape
+    m = n * n
+    tile = min(tile, b)
+    if b % tile != 0:
+        tile = b if b < tile else next(t for t in range(tile, 0, -1) if b % t == 0)
+    grid = (b // tile,)
+    mover_f = mover.astype(jnp.int32).reshape(b, m)
+    opp_f = opp.astype(jnp.int32).reshape(b, m)
+    block = pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    packed = pl.pallas_call(
+        functools.partial(_bundle_kernel, n=n, unroll=unroll),
+        out_shape=jax.ShapeDtypeStruct((b, m), jnp.int32),
+        grid=grid,
+        in_specs=[block, block],
+        out_specs=block,
+        interpret=interpret,
+    )(mover_f, opp_f)
+    return packed.reshape(b, n, n)

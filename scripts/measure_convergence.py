@@ -105,19 +105,27 @@ def main():
 
         # The real loop alternates fwd/rev per substep; bake two substeps
         # (fwd then rev) per fori iteration to keep the schedule static.
-        def body2(k, carry):
-            x, conv = carry
-            x1 = substep(x, fwd)
-            ch1 = jnp.any((x1 != x).reshape(x.shape[0], -1), axis=1)
-            conv = jnp.where(ch1, 2 * k + 1, conv)
-            x2 = substep(x1, rev)
-            ch2 = jnp.any((x2 != x1).reshape(x.shape[0], -1), axis=1)
-            conv = jnp.where(ch2, 2 * k + 2, conv)
-            return (x2, conv)
+        claim_mask = jnp.int32((1 << 18) | (1 << 19))
 
-        conv0 = jnp.zeros((black.shape[0],), jnp.int32)
-        _, conv = lax.fori_loop(0, args.maxk // 2, body2, (seed, conv0))
-        return conv
+        def chg(a, b, sel):
+            d = (a ^ b) & sel
+            return jnp.any(d.reshape(a.shape[0], -1) != 0, axis=1)
+
+        def body2(k, carry):
+            x, conv, conv_s, conv_c = carry
+            x1 = substep(x, fwd)
+            x2 = substep(x1, rev)
+            for step_idx, (a, b) in enumerate(((x, x1), (x1, x2))):
+                t = 2 * k + 1 + step_idx
+                conv = jnp.where(chg(a, b, jnp.int32(-1)), t, conv)
+                conv_s = jnp.where(chg(a, b, ~claim_mask), t, conv_s)
+                conv_c = jnp.where(chg(a, b, claim_mask), t, conv_c)
+            return (x2, conv, conv_s, conv_c)
+
+        z = jnp.zeros((black.shape[0],), jnp.int32)
+        _, conv, conv_s, conv_c = lax.fori_loop(
+            0, args.maxk // 2, body2, (seed, z, z, z))
+        return jnp.stack([conv, conv_s, conv_c])
 
     def measure(key, states):
         ps0 = _step.planes_from_states(states)
@@ -137,11 +145,11 @@ def main():
             # post-step (black, white) IS the frozen-resolved post-capture
             # board this step's bundle flooded
             conv = conv_counts(ps.black, ps.white)
-            return (ps, k), conv
+            return (ps, k), (conv, jnp.sum(ps.black | ps.white, dtype=jnp.int32))
 
-        (_fps, _), convs = lax.scan(body, (ps0, key), None,
-                                    length=args.measure_steps)
-        return convs  # (T, B)
+        (_fps, _), (convs, stones) = lax.scan(body, (ps0, key), None,
+                                              length=args.measure_steps)
+        return convs, stones  # (T, 3, B), (T,)
 
     jit_measure = jax.jit(measure)
 
@@ -163,9 +171,15 @@ def main():
     log(f"warmup done {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    convs = np.asarray(jit_measure(jax.random.fold_in(key, 7), states))
+    convs3, stones = jit_measure(jax.random.fold_in(key, 7), states)
+    convs3 = np.asarray(convs3)
+    convs, convs_stone, convs_claim = convs3[:, 0], convs3[:, 1], convs3[:, 2]
     log(f"measure done {time.perf_counter()-t0:.1f}s shape={convs.shape} "
         f"max={convs.max()} (budget {args.maxk})")
+    for name, cc in (("stone-bits", convs_stone), ("claim-bits", convs_claim)):
+        bm = cc.max(axis=1)
+        print(f"{name}: per-env mean={cc.mean():.1f} p99={np.percentile(cc,99):.0f} "
+              f"max={cc.max()}; batch-max mean={bm.mean():.1f}")
 
     if convs.max() >= args.maxk - 2:
         log("WARNING: budget possibly exceeded; raise --maxk")
