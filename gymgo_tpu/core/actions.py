@@ -72,12 +72,40 @@ def _kth_valid_actions(key: jax.Array, valid_board: jax.Array) -> jax.Array:
     passes.  Distribution: exactly uniform up to randint's 2^-32 modulo
     bias (immeasurable at 362 outcomes)."""
     b, m = valid_board.shape
-    csum = jnp.cumsum(valid_board.astype(jnp.int16), axis=-1)
-    num_board = csum[:, -1].astype(jnp.int32)
-    k = jax.random.randint(key, (b,), 0, num_board + 1)  # == num_board -> pass
-    target = (k + 1).astype(jnp.int16)
-    hit = valid_board & (csum == target[:, None])
-    board_choice = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    n = int(round(m ** 0.5))
+    if n * n != m:
+        csum = jnp.cumsum(valid_board.astype(jnp.int16), axis=-1)
+        num_board = csum[:, -1].astype(jnp.int32)
+        k = jax.random.randint(key, (b,), 0, num_board + 1)
+        target = (k + 1).astype(jnp.int16)
+        hit = valid_board & (csum == target[:, None])
+        board_choice = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        return jnp.where(k == num_board, m, board_choice).astype(jnp.int32)
+
+    # Two-level rank-select: pick the k-th valid flat move via (row, col).
+    # A full-width cumsum costs ~log2(m) doubling passes over (B, m) plus a
+    # full-width compare+argmax; here only a per-row popcount and a one-hot
+    # row extraction touch (B, m) — everything else is (B, n).  The chosen
+    # action is IDENTICAL to the flat k-th-valid for the same draw k.
+    v = valid_board.reshape(b, n, n)
+    row_cnt = jnp.sum(v, axis=2, dtype=jnp.int16)          # (B, n)
+    row_csum = jnp.cumsum(row_cnt, axis=1)                 # (B, n) small
+    num_board = row_csum[:, -1].astype(jnp.int32)
+    k = jax.random.randint(key, (b,), 0, num_board + 1)    # == num_board -> pass
+    k16 = k.astype(jnp.int16)
+    r = jnp.argmax(row_csum > k16[:, None], axis=1).astype(jnp.int16)
+    iota_n = jnp.arange(n, dtype=jnp.int16)
+    rmask = iota_n[None, :] == r[:, None]                  # (B, n)
+    before = jnp.sum(
+        jnp.where(rmask, row_csum - row_cnt, jnp.int16(0)), axis=1
+    )                                                      # valids before row r
+    within = k16 - before + jnp.int16(1)                   # 1-based rank in row
+    vrow = jnp.sum(
+        jnp.where(rmask[:, :, None], v.astype(jnp.int8), jnp.int8(0)), axis=1
+    )                                                      # (B, n) row r's bits
+    ccol = jnp.cumsum(vrow.astype(jnp.int16), axis=1)
+    col = jnp.argmax((vrow != 0) & (ccol == within[:, None]), axis=1)
+    board_choice = r.astype(jnp.int32) * n + col.astype(jnp.int32)
     return jnp.where(k == num_board, m, board_choice).astype(jnp.int32)
 
 

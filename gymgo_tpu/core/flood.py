@@ -455,29 +455,29 @@ def flood_bundle_bitpack(color_a: jax.Array, color_b: jax.Array, n: int):
     packed_cell = v | (inv_v << 9)
 
     zero = jnp.int32(0)
+    z8 = jnp.uint8(0)
     dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
-    lib_seed = zero
-    touch_a = jnp.zeros(color_a.shape, jnp.bool_)
-    touch_b = jnp.zeros(color_a.shape, jnp.bool_)
-    for (dr, dc) in dirs:
-        f = jnp.zeros((), jnp.bool_)
-        lib_seed = lib_seed | shift(packed_cell, dr, dc, zero)
-        touch_a = touch_a | shift(color_a, dr, dc, f)
-        touch_b = touch_b | shift(color_b, dr, dc, f)
-    seed = jnp.where(stones, lib_seed, zero)
-    seed = seed | jnp.where(empty & touch_a, bit_a, zero)
-    seed = seed | jnp.where(empty & touch_b, bit_b, zero)
-
-    # Loop-invariant per-direction gates, stored as bool (1 byte/cell): the
-    # while_loop re-reads them every substep, and the flood is HBM-bound —
-    # int32 {-1,0} masks cost 4x the traffic for the same select.
-    f = jnp.zeros((), jnp.bool_)
-    same = tuple(
-        (color_a & shift(color_a, dr, dc, f))
-        | (color_b & shift(color_b, dr, dc, f))
-        | (empty & shift(empty, dr, dc, f))
-        for (dr, dc) in dirs
+    # One packed uint8 class plane (bit0 a, bit1 b, bit2 empty) serves seed
+    # touches AND the per-direction gates: one uint8 shift per direction
+    # replaces three bool shifts (each cell holds exactly one class bit, so
+    # "same class" == nonzero AND of the packed planes).
+    cls8 = (
+        jnp.where(color_a, jnp.uint8(1), z8)
+        | jnp.where(color_b, jnp.uint8(2), z8)
+        | jnp.where(empty, jnp.uint8(4), z8)
     )
+    lib_seed = zero
+    touch8 = z8
+    same = []
+    for (dr, dc) in dirs:
+        lib_seed = lib_seed | shift(packed_cell, dr, dc, zero)
+        s8 = shift(cls8, dr, dc, z8)
+        touch8 = touch8 | s8
+        same.append((cls8 & s8) != 0)
+    same = tuple(same)
+    seed = jnp.where(stones, lib_seed, zero)
+    seed = seed | jnp.where(empty & ((touch8 & jnp.uint8(1)) != 0), bit_a, zero)
+    seed = seed | jnp.where(empty & ((touch8 & jnp.uint8(2)) != 0), bit_b, zero)
 
     def substep(x, order):
         for (dr, dc), same_d in order:

@@ -122,6 +122,14 @@ class PlanesState(NamedTuple):
     # e.g. from ``planes_from_states``) selects the stateless flood path.
     # Zero-filling on auto-reset is consistent: an empty board has no stones.
     atari: jax.Array | None = None
+    # Optional carried ko-probe accelerator: bool (B, N, N), per cell whether
+    # ALL its in-bounds neighbors hold stones of the player who will be the
+    # opponent on the NEXT step (exactly next step's adj_data "surrounded"
+    # map, state_utils.py:214-223).  Produced for free by the step's packed
+    # invalid-mask dilation; with it the ko probe needs no shifts at all.
+    # Zero-filling on auto-reset is consistent: nothing is surrounded on an
+    # empty board.  ``None`` selects the stateless inline computation.
+    ko_surr: jax.Array | None = None
 
 
 def planes_from_states(states: jax.Array) -> PlanesState:
@@ -149,6 +157,19 @@ def states_from_planes(ps: PlanesState, dtype=jnp.int8) -> jax.Array:
         ],
         axis=1,
     ).astype(dtype)
+
+
+def init_ko_surr(ps: PlanesState) -> jax.Array:
+    """Seed the carried ko-surround map for an arbitrary board: per cell,
+    all in-bounds neighbors hold stones of the player NOT to move (the
+    next step's pre-capture opponent)."""
+    wtm = ps.white_to_move[:, None, None]
+    opp = jnp.where(wtm, ps.black, ps.white)
+    t = jnp.ones((), jnp.bool_)
+    return (
+        shift(opp, 1, 0, t) & shift(opp, -1, 0, t)
+        & shift(opp, 0, 1, t) & shift(opp, 0, -1, t)
+    )
 
 
 def init_atari(ps: PlanesState) -> jax.Array:
@@ -221,6 +242,8 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     # (state_utils.py:214-223 keeps only in-bounds neighbors).
     if "ko" in _ABLATE:
         surrounded_pre = is_pass
+    elif ps.ko_surr is not None:
+        surrounded_pre = at_place(ps.ko_surr)
     else:
         t = jnp.ones((), jnp.bool_)
         surrounded_map = (
@@ -288,8 +311,10 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     black_area = jnp.where(mover_is_white, opp_area, mover_area)
     white_area = jnp.where(mover_is_white, mover_area, opp_area)
 
+    white_to_move_next = jnp.where(frozen, white_to_move, ~white_to_move)
     if "invd" in _ABLATE:
         invd = all_pieces
+        ko_surr_next = jnp.zeros_like(black)
     else:
         # One packed uint8 dilation replaces four bool neighbor_or's plus
         # the edge-as-wall surround count (state_utils.py:64-82's algebra,
@@ -303,6 +328,15 @@ def step_planes(ps: PlanesState, actions: jax.Array):
         packed_cls = jnp.where(
             mover, cls, jnp.where(opp, cls << 2, jnp.uint8(16))
         )
+        # bits 5/6 feed next step's carried ko map: set on NON-mover /
+        # NON-opp cells, so a cleared dilated bit means "every in-bounds
+        # neighbor is a mover / opp stone" (edges contribute nothing,
+        # matching the reference's in-bounds-only neighbor probe).
+        packed_cls = (
+            packed_cls
+            | jnp.where(mover, z8, jnp.uint8(32))
+            | jnp.where(opp, z8, jnp.uint8(64))
+        )
         dil = (
             shift(packed_cls, 1, 0, z8)
             | shift(packed_cls, -1, 0, z8)
@@ -315,18 +349,28 @@ def step_planes(ps: PlanesState, actions: jax.Array):
         invd = all_pieces | (possible & ~definite & surrounded_cells)
         ko_point = (cell_idx == ko_flat[:, None, None]) & ko_active[:, None, None]
         invd = invd | ko_point
+        all_nb_mover = (dil & jnp.uint8(32)) == 0
+        all_nb_opp = (dil & jnp.uint8(64)) == 0
+        miw = mover_is_white[:, None, None]
+        all_nb_black = jnp.where(miw, all_nb_opp, all_nb_mover)
+        all_nb_white = jnp.where(miw, all_nb_mover, all_nb_opp)
+        # next step's opponent is black iff white moves next
+        ko_surr_next = jnp.where(
+            white_to_move_next[:, None, None], all_nb_black, all_nb_white
+        )
 
     # Frozen envs (finished, or invalid action) pass through unchanged.
     new_ps = PlanesState(
         black=jnp.where(fz, black, jnp.where(wtm, opp, mover)),
         white=jnp.where(fz, white, jnp.where(wtm, mover, opp)),
         invd=jnp.where(fz, ps.invd, invd),
-        white_to_move=jnp.where(frozen, white_to_move, ~white_to_move),
+        white_to_move=white_to_move_next,
         prev_passed=jnp.where(frozen, prev_passed, is_pass),
         done=jnp.where(frozen, done, done | (prev_passed & is_pass)),
-        # The bundle ran on the frozen-resolved board, so its atari encoding
-        # describes exactly the state every env keeps — no masking needed.
+        # The bundle/dilation ran on the frozen-resolved board, so the atari
+        # encoding and ko map describe exactly the state every env keeps.
         atari=None if ps.atari is None else atari_enc,
+        ko_surr=None if ps.ko_surr is None else ko_surr_next,
     )
     info = StepInfo(
         invalid_action=invalid_action,

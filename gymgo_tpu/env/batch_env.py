@@ -132,7 +132,9 @@ def rollout(
     # Seed the carried-capture encoding once; each step then refreshes it as
     # a free byproduct of its classification flood, eliminating the per-step
     # capture flood entirely inside the scan.
-    ps0 = ps0._replace(atari=_step.init_atari(ps0))
+    ps0 = ps0._replace(
+        atari=_step.init_atari(ps0), ko_surr=_step.init_ko_surr(ps0)
+    )
     (final_ps, _), outs = lax.scan(body, (ps0, key), None, length=num_steps)
     actions, rewards, dones = outs[:3]
     obs = outs[3] if collect_obs else None
