@@ -267,17 +267,6 @@ def step_planes(ps: PlanesState, actions: jax.Array):
             & ~is_pass[:, None, None]
         )
     opp = opp & ~killed
-    if "capsum" in _ABLATE:
-        num_captured = jnp.zeros((b,), jnp.int32)
-    else:
-        num_captured = jnp.sum(killed.reshape(b, -1), axis=1, dtype=jnp.int32)
-
-    # Simple ko: exactly one stone captured and the move was surrounded.
-    ko_active = (num_captured == 1) & surrounded_pre
-    if "argmax" in _ABLATE:
-        ko_flat = jnp.zeros((b,), jnp.int32)
-    else:
-        ko_flat = jnp.argmax(killed.reshape(b, -1), axis=1)
 
     # Invalid-move mask for the next player, on the post-capture board:
     # classify every stone's group by distinct-liberty count (0 / 1 / >=2).
@@ -294,6 +283,23 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     all_pieces = mover | opp
     empty = ~all_pieces
     cell_idx = rows * n + cols
+
+    # Capture count and the (sole) captured cell's index in ONE packed
+    # reduction: bits 0-17 accumulate killed*idx (<= 361*360 < 2^18), bits
+    # 18+ the kill count.  The index sum equals the captured cell's flat
+    # index exactly when one stone died — the only case ko consumes it
+    # (gogame.py:72-75).
+    if "capsum" in _ABLATE:
+        num_captured = jnp.zeros((b,), jnp.int32)
+        ko_flat = jnp.zeros((b,), jnp.int32)
+    else:
+        kill_word = jnp.where(killed, cell_idx + (1 << 18), 0)
+        kill_sum = jnp.sum(kill_word.reshape(b, -1), axis=1, dtype=jnp.int32)
+        num_captured = kill_sum >> 18
+        ko_flat = kill_sum & ((1 << 18) - 1)
+
+    # Simple ko: exactly one stone captured and the move was surrounded.
+    ko_active = (num_captured == 1) & surrounded_pre
     if "bundle" in _ABLATE:
         one_lib, multi_lib, only_mover, only_opp = mover | opp, empty, empty, empty
         atari_enc = jnp.zeros((b, n, n), jnp.int16)
@@ -304,10 +310,14 @@ def step_planes(ps: PlanesState, actions: jax.Array):
     if "areas" in _ABLATE:
         mover_area = opp_area = jnp.zeros((b,), jnp.int32)
     else:
-        mover_area = jnp.sum(
-            (mover | only_mover).reshape(b, -1), axis=1, dtype=jnp.int32
+        # both Trump-Taylor areas in one packed reduction (area <= 361 < 2^10)
+        area_word = (
+            jnp.where(mover | only_mover, jnp.int32(1 << 10), 0)
+            | jnp.where(opp | only_opp, jnp.int32(1), 0)
         )
-        opp_area = jnp.sum((opp | only_opp).reshape(b, -1), axis=1, dtype=jnp.int32)
+        area_sum = jnp.sum(area_word.reshape(b, -1), axis=1, dtype=jnp.int32)
+        mover_area = area_sum >> 10
+        opp_area = area_sum & ((1 << 10) - 1)
     black_area = jnp.where(mover_is_white, opp_area, mover_area)
     white_area = jnp.where(mover_is_white, mover_area, opp_area)
 
