@@ -7,6 +7,8 @@ from gymgo_tpu.rl.mcts import (
     make_mcts_policy,
     MCTSResult,
     MCTSTree,
+    compact_subtree,
+    empty_tree,
     played_child_stats,
 )
 from gymgo_tpu.rl.gumbel_mcts import run_gumbel_mcts, make_gumbel_mcts_policy, GumbelMCTSResult

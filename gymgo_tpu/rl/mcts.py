@@ -40,7 +40,9 @@ class MCTSResult(NamedTuple):
 
 class MCTSTree(NamedTuple):
     """Array-encoded search forest (one tree per env), returned by
-    ``run_mcts(..., return_tree=True)`` for cross-move statistics reuse."""
+    ``run_mcts(..., return_tree=True)`` for cross-move reuse — either the
+    root-child statistics (``played_child_stats``) or the full played
+    subtree (``compact_subtree`` -> ``run_mcts(warm_tree=...)``)."""
 
     node_states: jax.Array  # (B, M, 6, N, N)
     node_done: jax.Array  # bool (B, M)
@@ -48,6 +50,115 @@ class MCTSTree(NamedTuple):
     visit: jax.Array  # int32 (B, M, A)
     wsum: jax.Array  # f32 (B, M, A)
     child: jax.Array  # int32 (B, M, A), -1 = unexpanded
+    parent: jax.Array  # int32 (B, M), -1 = root / unused slot
+
+
+def empty_tree(b: int, r: int, a_size: int, state_shape, dtype=jnp.int8):
+    """An all-cold warm tree (R slots): zero stats, no edges.  Feeding it
+    as ``warm_tree`` is equivalent to a cold search (the root row is
+    re-seeded by ``run_mcts`` itself)."""
+    return MCTSTree(
+        node_states=jnp.zeros((b, r) + tuple(state_shape), dtype),
+        node_done=jnp.zeros((b, r), bool),
+        prior=jnp.zeros((b, r, a_size), jnp.float32),
+        visit=jnp.zeros((b, r, a_size), jnp.int32),
+        wsum=jnp.zeros((b, r, a_size), jnp.float32),
+        child=jnp.full((b, r, a_size), -1, jnp.int32),
+        parent=jnp.full((b, r), -1, jnp.int32),
+    )
+
+
+def compact_subtree(
+    tree: MCTSTree, actions: jax.Array, reuse_cap: int
+) -> MCTSTree:
+    """Extract the subtree rooted at the played child into ``reuse_cap``
+    slots (new root at slot 0) — full cross-move tree reuse.
+
+    Node slots are filled in expansion order, so a child's index always
+    exceeds its parent's; membership is decided by pointer-doubling up the
+    parent chain (O(log M) gathers), renumbering keeps old-index order, and
+    truncation to the cap is therefore ancestry-closed (an ancestor always
+    precedes its descendants).  Edges into dropped nodes keep their
+    statistics but lose the child pointer (they re-expand on demand),
+    exactly like the stats-only reuse path.  Envs whose played edge was
+    never expanded come back all-cold.
+    """
+    b, m, a_size = tree.prior.shape
+    r = reuse_cap
+    bidx = jnp.arange(b)
+    iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    new_root = tree.child[bidx, 0, actions]  # (B,), -1 = cold
+    has = new_root >= 0
+    root_safe = jnp.maximum(new_root, 0)[:, None]
+
+    # keep[j]: j is the new root or a descendant of it.  Pointer doubling:
+    # after k rounds keep[j] is true iff the root lies within 2^k ancestor
+    # hops, because each round ORs in the keep flag of the current 2^k-hop
+    # ancestor before doubling the hop.
+    keep = iota == root_safe
+    jump = tree.parent
+    hops = 1
+    while hops < m:
+        anc_keep = (
+            jnp.take_along_axis(keep, jnp.maximum(jump, 0), axis=1)
+            & (jump >= 0)
+        )
+        keep = keep | anc_keep
+        jump = jnp.where(
+            jump >= 0,
+            jnp.take_along_axis(jump, jnp.maximum(jump, 0), axis=1),
+            -1,
+        )
+        hops *= 2
+    keep = keep & has[:, None]
+
+    # Renumber: root -> 0, other kept nodes by old-index order; drop past cap.
+    keep_nonroot = keep & (iota != root_safe)
+    rank = jnp.cumsum(keep_nonroot.astype(jnp.int32), axis=1)  # inclusive
+    newidx = jnp.where(iota == root_safe, 0, rank)
+    final_keep = keep & (newidx < r)
+
+    # perm[new] = old (scatter through a dump slot for dropped nodes).
+    perm = jnp.full((b, r + 1), -1, jnp.int32)
+    perm = perm.at[
+        bidx[:, None], jnp.where(final_keep, newidx, r)
+    ].set(jnp.broadcast_to(iota, (b, m)))[:, :r]
+    live = perm >= 0
+    psafe = jnp.maximum(perm, 0)
+
+    def take(x, fill):
+        g = x[bidx[:, None], psafe]
+        mask = live.reshape((b, r) + (1,) * (g.ndim - 2))
+        return jnp.where(mask, g, fill)
+
+    # old -> new node-index map (-1 for dropped), applied to child/parent.
+    old2new = jnp.where(final_keep, newidx, -1)
+
+    child_old = take(tree.child, -1)
+    child_new = jnp.where(
+        child_old >= 0,
+        jnp.take_along_axis(
+            old2new, jnp.maximum(child_old, 0).reshape(b, -1), axis=1
+        ).reshape(b, r, a_size),
+        -1,
+    )
+    parent_old = take(tree.parent[..., None], -1)[..., 0]
+    parent_new = jnp.where(
+        parent_old >= 0,
+        jnp.take_along_axis(old2new, jnp.maximum(parent_old, 0), axis=1),
+        -1,
+    )
+
+    return MCTSTree(
+        node_states=take(tree.node_states, jnp.zeros((), tree.node_states.dtype)),
+        node_done=take(tree.node_done[..., None], False)[..., 0],
+        prior=take(tree.prior, 0.0),
+        visit=take(tree.visit, 0),
+        wsum=take(tree.wsum, 0.0),
+        child=child_new,
+        parent=parent_new,
+    )
 
 
 def played_child_stats(tree: MCTSTree, actions: jax.Array):
@@ -92,6 +203,7 @@ def run_mcts(
     temperature: float = 1.0,
     num_parallel: int = 1,
     warm_root=None,
+    warm_tree: MCTSTree | None = None,
     return_tree: bool = False,
 ):
     """Run PUCT search from each state in the batch.  ``apply_fn(params, s)
@@ -110,18 +222,25 @@ def run_mcts(
 
     ``warm_root`` = (visit (B, A) int32, wsum (B, A) f32) seeds the root
     statistics — pass ``played_child_stats`` of the previous ply's tree to
-    reuse search effort across moves.  ``return_tree=True`` returns
+    reuse search effort across moves.  ``warm_tree`` (from
+    ``compact_subtree``) seeds the FULL subtree: its R slots occupy node
+    indices [0, R) (slot 0 must be the new root; its state/prior are
+    re-seeded here from ``states`` and a fresh noisy prior) and new
+    expansions fill [R, R + num_simulations).  ``return_tree=True`` returns
     ``(MCTSResult, MCTSTree)``.
     """
     if num_simulations % num_parallel != 0:
         raise ValueError("num_simulations must be a multiple of num_parallel")
+    if warm_root is not None and warm_tree is not None:
+        raise ValueError("pass at most one of warm_root / warm_tree")
     k_par = num_parallel
     num_waves = num_simulations // k_par
     b = states.shape[0]
     n = states.shape[-1]
     a_size = n * n + 1
-    m = num_simulations + 1  # node slots
-    max_depth = num_simulations + 1
+    r_slots = 1 if warm_tree is None else warm_tree.prior.shape[1]
+    m = num_simulations + r_slots  # node slots
+    max_depth = m
 
     def masked_policy(sts):
         logits, value = apply_fn(params, _transform.batch_canonical_form(sts))
@@ -141,20 +260,33 @@ def run_mcts(
 
     # Tree arrays.
     node_states = jnp.zeros((b, m) + states.shape[1:], states.dtype)
-    node_states = node_states.at[:, 0].set(states)
     node_done = jnp.zeros((b, m), bool)
-    node_done = node_done.at[:, 0].set(_state.game_ended(states))
-    prior = jnp.zeros((b, m, a_size), jnp.float32).at[:, 0].set(root_prior)
+    prior = jnp.zeros((b, m, a_size), jnp.float32)
     visit = jnp.zeros((b, m, a_size), jnp.int32)
     wsum = jnp.zeros((b, m, a_size), jnp.float32)
     child = jnp.full((b, m, a_size), -1, jnp.int32)
+    parent = jnp.full((b, m), -1, jnp.int32)
+    if warm_tree is not None:
+        node_states = node_states.at[:, :r_slots].set(warm_tree.node_states)
+        node_done = node_done.at[:, :r_slots].set(warm_tree.node_done)
+        prior = prior.at[:, :r_slots].set(warm_tree.prior)
+        visit = visit.at[:, :r_slots].set(warm_tree.visit)
+        wsum = wsum.at[:, :r_slots].set(warm_tree.wsum)
+        child = child.at[:, :r_slots].set(warm_tree.child)
+        parent = parent.at[:, :r_slots].set(warm_tree.parent)
+    # (re-)seed the root row: exact current state, fresh noisy prior (AZ
+    # root exploration noise), done flag; carried visit/wsum/child stay.
+    node_states = node_states.at[:, 0].set(states)
+    node_done = node_done.at[:, 0].set(_state.game_ended(states))
+    prior = prior.at[:, 0].set(root_prior)
+    parent = parent.at[:, 0].set(-1)
     if warm_root is not None:
         warm_visit, warm_wsum = warm_root
         visit = visit.at[:, 0].set(warm_visit.astype(jnp.int32))
         wsum = wsum.at[:, 0].set(warm_wsum.astype(jnp.float32))
 
     def simulate(sim, tree):
-        node_states, node_done, prior, visit, wsum, child = tree
+        node_states, node_done, prior, visit, wsum, child, parent = tree
 
         # ---- selection (per env): walk PUCT argmax edges until an
         # unexpanded child or a terminal node; record the path.
@@ -295,7 +427,7 @@ def run_mcts(
                 >= 0
             )
             write = ~already
-            slot = sim * k_par + (k + 1)
+            slot = r_slots + sim * k_par + k
             node_states = node_states.at[bidx, slot].set(
                 jnp.where(
                     write[:, None, None, None], new_states, node_states[bidx, slot]
@@ -310,14 +442,17 @@ def run_mcts(
             child = child.at[bidx, exp_parent, exp_action].set(
                 jnp.where(write, slot, child[bidx, exp_parent, exp_action])
             )
+            parent = parent.at[bidx, slot].set(
+                jnp.where(write, exp_parent, parent[bidx, slot])
+            )
             visit, wsum = jax.vmap(backup_one)(
                 visit, wsum, path_n, path_a, sel_depth, leaf_all[sl]
             )
-        return node_states, node_done, prior, visit, wsum, child
+        return node_states, node_done, prior, visit, wsum, child, parent
 
-    tree = (node_states, node_done, prior, visit, wsum, child)
+    tree = (node_states, node_done, prior, visit, wsum, child, parent)
     tree = lax.fori_loop(0, num_waves, simulate, tree)
-    node_states, node_done, prior, visit, wsum, child = tree
+    node_states, node_done, prior, visit, wsum, child, parent = tree
 
     root_visits = visit[:, 0]
     vp = root_visits.astype(jnp.float32)
@@ -341,7 +476,9 @@ def run_mcts(
         root_visits=root_visits,
     )
     if return_tree:
-        return result, MCTSTree(node_states, node_done, prior, visit, wsum, child)
+        return result, MCTSTree(
+            node_states, node_done, prior, visit, wsum, child, parent
+        )
     return result
 
 

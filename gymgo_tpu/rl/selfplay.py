@@ -143,50 +143,80 @@ def selfplay_mcts_rollout(
     num_steps: int,
     config: EnvConfig,
     num_simulations: int = 32,
-    tree_reuse: bool = False,
+    tree_reuse=False,
+    reuse_cap: int | None = None,
     **mcts_kw,
 ):
     """Full-AZ self-play: MCTS action selection with visit-count policy
     targets (rl.mcts).
 
-    ``tree_reuse=True`` carries the played root child's (visit, wsum)
-    statistics across plies (rl.mcts.played_child_stats), warm-starting
-    every search with the previous ply's effort; stats are dropped for
-    envs whose game ended (the next root is a fresh/terminal board).
-    Extra ``mcts_kw`` (e.g. ``num_parallel`` for virtual-loss waves) pass
-    through to ``run_mcts``.
+    ``tree_reuse`` carries search effort across plies:
+      * ``"root"`` (or ``True``) — the played root child's (visit, wsum)
+        statistics (rl.mcts.played_child_stats);
+      * ``"subtree"`` — the FULL played subtree (states, priors, stats,
+        edges) via rl.mcts.compact_subtree, capped at ``reuse_cap`` nodes
+        (default ``num_simulations``), so deep lines keep their entire
+        search investment.
+    Reuse is dropped for envs whose game ended (the next root is a
+    fresh/terminal board).  Extra ``mcts_kw`` (e.g. ``num_parallel`` for
+    virtual-loss waves) pass through to ``run_mcts``.
     """
-    from gymgo_tpu.rl.mcts import played_child_stats, run_mcts
+    from gymgo_tpu.rl.mcts import (
+        compact_subtree, empty_tree, played_child_stats, run_mcts,
+    )
 
+    mode = {False: "off", True: "root"}.get(tree_reuse, tree_reuse)
+    if mode not in ("off", "root", "subtree"):
+        raise ValueError(f"tree_reuse: {tree_reuse!r}")
     b = states.shape[0]
     a_size = config.board_size * config.board_size + 1
+    r_cap = reuse_cap if reuse_cap is not None else num_simulations
 
     def body(carry, _):
         st, warm, k = carry
         k, sub = jax.random.split(k)
+        warm_kw = (
+            {"warm_root": warm} if mode == "root"
+            else {"warm_tree": warm} if mode == "subtree"
+            else {}
+        )
         res, tree = run_mcts(
             sub, st, params, apply_fn,
             num_simulations=num_simulations, komi=config.komi,
-            warm_root=warm, return_tree=True, **mcts_kw,
+            return_tree=True, **warm_kw, **mcts_kw,
         )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
         new_st, _ = _batch_env.batch_step(st, res.actions, config)
-        if tree_reuse:
+        if mode != "off":
             # Invalid when this root was already done (auto-reset means the
             # tree stepped a board the env replaced) or the game just ended.
-            keep = (live & ~_state.game_ended(new_st))[:, None]
-            wv, ww = played_child_stats(tree, res.actions)
-            warm = (jnp.where(keep, wv, 0), jnp.where(keep, ww, 0.0))
+            keep = live & ~_state.game_ended(new_st)
+            if mode == "root":
+                wv, ww = played_child_stats(tree, res.actions)
+                k1 = keep[:, None]
+                warm = (jnp.where(k1, wv, 0), jnp.where(k1, ww, 0.0))
+            else:
+                wt = compact_subtree(tree, res.actions, r_cap)
+                cold = empty_tree(b, r_cap, a_size, st.shape[1:], st.dtype)
+                warm = jax.tree.map(
+                    lambda x, c: jnp.where(
+                        keep.reshape((-1,) + (1,) * (x.ndim - 1)), x, c
+                    ),
+                    wt, cold,
+                )
         return (new_st, warm, k), (
             canonical, res.visit_policy, mover_is_white, live,
         )
 
-    warm0 = (
-        jnp.zeros((b, a_size), jnp.int32),
-        jnp.zeros((b, a_size), jnp.float32),
-    )
+    if mode == "subtree":
+        warm0 = empty_tree(b, r_cap, a_size, states.shape[1:], states.dtype)
+    else:
+        warm0 = (
+            jnp.zeros((b, a_size), jnp.int32),
+            jnp.zeros((b, a_size), jnp.float32),
+        )
     (final_states, _, _), (obs, probs, mover_white, live) = lax.scan(
         body, (states, warm0, key), None, length=num_steps
     )

@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--mcts-par", type=int, default=1,
                     help="leaf-parallel MCTS wave size (batched virtual "
                          "loss); must divide --mcts-sims")
-    ap.add_argument("--mcts-reuse", action="store_true",
+    ap.add_argument("--mcts-reuse", nargs="?", const="root", default="",
+                    choices=["root", "subtree"],
                     help="reuse the played root child's search statistics "
                          "across plies (tree reuse)")
     ap.add_argument("--gumbel-sims", type=int, default=0,
@@ -118,7 +119,7 @@ def main():
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_simulations=args.mcts_sims,
                 num_parallel=args.mcts_par,
-                tree_reuse=args.mcts_reuse,
+                tree_reuse=args.mcts_reuse or False,
             )
         elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
