@@ -202,5 +202,209 @@ def main():
               f"work ratio vs batch-max={work/total_batchmax:.3f}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--warm-study" not in sys.argv:
     main()
+
+
+def warm_start_study():
+    """Simulate a SOUND warm-started flood and measure its trip counts.
+
+    Warm rule (x0 = seed | (F_prev & keep)): drop cells whose converged
+    word could exceed the new fixpoint —
+      * the played cell p and captured cells (class changed),
+      * stones whose F_prev word matches any stone neighbor of p (groups
+        that lost liberty p; mover merges are adjacent to p too),
+      * ALL empty cells of envs where p touched empties or captures
+        happened (region split / touch-loss; claims re-converge in <= ~18),
+    everything else is <= the new fixpoint (monotone growth), so OR-flood
+    from x0 reaches the same fixpoint.  The study VERIFIES fixpoint
+    equality against the cold flood every step and reports warm vs cold
+    conv substeps.
+    """
+    import argparse as _ap
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core import actions as _actions
+    from gymgo_tpu.core import step as _step
+    from gymgo_tpu.core.flood import shift
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.env.batch_env import rollout
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("--board", type=int, default=19)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--warmup-steps", type=int, default=768)
+    ap.add_argument("--measure-steps", type=int, default=64)
+    ap.add_argument("--maxk", type=int, default=96)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--warm", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    n = args.board
+    cfg = EnvConfig(board_size=n, batch_size=args.batch,
+                    reward_method="heuristic", auto_reset=True)
+
+    mask9 = jnp.int32((1 << 9) - 1)
+    bit_a = jnp.int32(1 << 18)
+    bit_b = jnp.int32(1 << 19)
+    zero = jnp.int32(0)
+    dirs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def flood_parts(black, white):
+        stones = black | white
+        empty = ~stones
+        rows = lax.broadcasted_iota(jnp.int32, black.shape, black.ndim - 2)
+        cols = lax.broadcasted_iota(jnp.int32, black.shape, black.ndim - 1)
+        v = jnp.where(empty, rows * n + cols + 1, 0)
+        inv_v = jnp.where(empty, (~(rows * n + cols + 1)) & mask9, 0)
+        packed_cell = v | (inv_v << 9)
+        f = jnp.zeros((), jnp.bool_)
+        seed = zero
+        ta = jnp.zeros(black.shape, jnp.bool_)
+        tb = jnp.zeros(black.shape, jnp.bool_)
+        for (dr, dc) in dirs:
+            seed = seed | shift(packed_cell, dr, dc, zero)
+            ta = ta | shift(black, dr, dc, f)
+            tb = tb | shift(white, dr, dc, f)
+        seed = jnp.where(stones, seed, zero)
+        seed = seed | jnp.where(empty & ta, bit_a, zero)
+        seed = seed | jnp.where(empty & tb, bit_b, zero)
+        same = tuple(
+            (black & shift(black, dr, dc, f))
+            | (white & shift(white, dr, dc, f))
+            | (empty & shift(empty, dr, dc, f))
+            for (dr, dc) in dirs
+        )
+        return seed, same
+
+    def run_flood(x0, same, maxk):
+        fwd = tuple(zip(dirs, same))
+        rev = tuple(reversed(fwd))
+
+        def substep(x, order):
+            for (dr, dc), same_d in order:
+                x = x | jnp.where(same_d, shift(x, dr, dc, zero), zero)
+            return x
+
+        def body(k, carry):
+            x, conv = carry
+            x1 = substep(x, fwd)
+            c1 = jnp.any((x1 != x).reshape(x.shape[0], -1), axis=1)
+            conv = jnp.where(c1, 2 * k + 1, conv)
+            x2 = substep(x1, rev)
+            c2 = jnp.any((x2 != x1).reshape(x.shape[0], -1), axis=1)
+            conv = jnp.where(c2, 2 * k + 2, conv)
+            return (x2, conv)
+
+        z = jnp.zeros((x0.shape[0],), jnp.int32)
+        return lax.fori_loop(0, maxk // 2, body, (x0, z))
+
+    def measure(key, states):
+        ps0 = _step.planes_from_states(states)
+        ps0 = ps0._replace(atari=_step.init_atari(ps0),
+                           ko_surr=_step.init_ko_surr(ps0))
+        seed0, same0 = flood_parts(ps0.black, ps0.white)
+        f0, _ = run_flood(seed0, same0, args.maxk)
+
+        def body(carry, _):
+            ps, fprev, k = carry
+            prev_black, prev_white = ps.black, ps.white
+            k, sub = jax.random.split(k)
+            reset = ps.done
+            ps = jax.tree.map(
+                lambda x: jnp.where(
+                    reset.reshape((-1,) + (1,) * (x.ndim - 1)),
+                    jnp.zeros_like(x), x),
+                ps,
+            )
+            fprev = jnp.where(reset[:, None, None], 0, fprev)
+            prev_black = jnp.where(reset[:, None, None], False, prev_black)
+            prev_white = jnp.where(reset[:, None, None], False, prev_white)
+            acts = _actions.uniform_random_actions_planes(sub, ps)
+            nps, info = _step.step_planes(ps, acts)
+            b = acts.shape[0]
+            rows = lax.broadcasted_iota(jnp.int32, nps.black.shape, 1)
+            cols = lax.broadcasted_iota(jnp.int32, nps.black.shape, 2)
+            board_idx = jnp.clip(acts, 0, n * n - 1)
+            is_pass = acts == n * n
+            frozen = info.was_done | info.invalid_action | is_pass
+            place = (
+                (rows == (board_idx // n)[:, None, None])
+                & (cols == (board_idx % n)[:, None, None])
+                & ~frozen[:, None, None]
+            )
+            prev_stones = prev_black | prev_white
+            # stale stone words: F_prev at p's stone-neighbor cells
+            f = jnp.zeros((), jnp.bool_)
+            nbr_words = []
+            for (dr, dc) in dirs:
+                sel = shift(place, dr, dc, f) & prev_stones
+                w = jnp.sum(jnp.where(sel, fprev, 0).reshape(b, -1), axis=1)
+                ok = jnp.any(sel.reshape(b, -1), axis=1)
+                nbr_words.append((w, ok))
+            stale_stone = jnp.zeros(nps.black.shape, jnp.bool_)
+            for (w, ok) in nbr_words:
+                stale_stone = stale_stone | (
+                    prev_stones & (fprev == w[:, None, None]) & ok[:, None, None]
+                )
+            captured = prev_stones & ~(nps.black | nps.white) & ~frozen[:, None, None]
+            any_cap = jnp.any(captured.reshape(b, -1), axis=1)
+            touched_empty = jnp.any(
+                (place & ~prev_stones).reshape(b, -1), axis=1
+            ) | jnp.any((shift(place, 1, 0, f) | shift(place, -1, 0, f)
+                         | shift(place, 0, 1, f) | shift(place, 0, -1, f))
+                        .reshape(b, -1) & (~prev_stones).reshape(b, -1), axis=1)
+            reset_empty = (any_cap | touched_empty)[:, None, None]
+            new_stones = nps.black | nps.white
+            drop = (
+                stale_stone
+                | place
+                | captured
+                | (~new_stones & reset_empty)
+            )
+            keep = ~drop
+            # frozen envs keep their exact old fixpoint (board unchanged)
+            seed, same = flood_parts(nps.black, nps.white)
+            x0_warm = jnp.where(
+                frozen[:, None, None], fprev, seed | jnp.where(keep, fprev, 0)
+            )
+            fx_warm, conv_w = run_flood(x0_warm, same, args.maxk)
+            fx_cold, conv_c = run_flood(seed, same, args.maxk)
+            equal = jnp.all((fx_warm == fx_cold).reshape(b, -1), axis=1)
+            return (nps, fx_cold, k), (conv_w, conv_c, jnp.all(equal))
+
+        (_ps, _f, _), (cw, cc, eq) = lax.scan(
+            body, (ps0, f0, key), None, length=args.measure_steps)
+        return cw, cc, eq
+
+    @jax.jit
+    def warm(key, states):
+        r = rollout(key, states, 64, cfg)
+        return r.final_states, jnp.sum(r.rewards)
+
+    key = jax.random.PRNGKey(0)
+    states = batch_init_state(args.batch, n)
+    t0 = time.perf_counter()
+    states, c = warm(key, states)
+    float(c)
+    for i in range((args.warmup_steps - 64) // 64):
+        states, c = warm(jax.random.fold_in(key, 1000 + i), states)
+    float(c)
+    log(f"warmup {time.perf_counter()-t0:.1f}s")
+    cw, cc, eq = jax.jit(measure)(jax.random.fold_in(key, 7), states)
+    cw, cc, eq = np.asarray(cw), np.asarray(cc), np.asarray(eq)
+    print(f"fixpoint equality every step: {bool(eq.all())}")
+    print(f"cold: per-env mean={cc.mean():.1f} batch-max mean={cc.max(1).mean():.1f}")
+    print(f"warm: per-env mean={cw.mean():.1f} batch-max mean={cw.max(1).mean():.1f} "
+          f"p99 of batch-max={np.percentile(cw.max(1),99):.0f}")
+
+
+if __name__ == "__main__" and "--warm-study" in sys.argv:
+    sys.argv.remove("--warm-study")
+    warm_start_study()
+    sys.exit(0)
