@@ -81,6 +81,7 @@ class GTPEngine:
         self.state = np.zeros((6, self.n, self.n), np.int8)
         self.history: List[np.ndarray] = []
         self.moves: List[int] = []
+        self._notify_reset()
 
     def _turn(self) -> int:
         return int(self.state[govars.TURN_CHNL, 0, 0])
@@ -103,7 +104,20 @@ class GTPEngine:
             self.history.append(self.state)
             self.moves.append(action)
             self.state = np.asarray(new, dtype=np.int8)
+            self._notify_move(action)
         return ok
+
+    # -- mover notifications (cross-move search-tree reuse) ------------------
+
+    def _notify_move(self, action: int):
+        cb = getattr(self._genmove_fn, "on_move", None)
+        if cb is not None:
+            cb(int(action))
+
+    def _notify_reset(self):
+        cb = getattr(self._genmove_fn, "on_reset", None)
+        if cb is not None:
+            cb()
 
     def _legal_actions(self) -> np.ndarray:
         invd = self.state[govars.INVD_CHNL].reshape(-1)
@@ -170,6 +184,7 @@ class GTPEngine:
                     return self._fmt(cmd_id, "cannot undo", True), True, False
                 self.state = self.history.pop()
                 self.moves.pop()
+                self._notify_reset()  # trees cannot descend backwards
                 return self._fmt(cmd_id, ""), False, False
             if cmd == "showboard":
                 from gymgo_tpu import gogame
@@ -235,11 +250,80 @@ class GTPEngine:
         return f"{prefix} {text}".rstrip() + "\n\n"
 
 
+class PUCTMover:
+    """genmove via PUCT MCTS with CROSS-MOVE subtree reuse.
+
+    The GTP engine notifies every applied move (``on_move``) — ours and the
+    opponent's — so the stored search tree descends ply by ply
+    (rl.mcts.compact_subtree) and each ``genmove`` warm-starts from the
+    surviving subtree (rl.mcts.run_mcts ``warm_tree``).  ``clear_board`` /
+    ``boardsize`` / ``undo`` invalidate it (``on_reset``).  Match play:
+    no root Dirichlet noise, move = argmax of root visit counts.
+    """
+
+    def __init__(self, params, apply_fn, simulations: int, komi: float,
+                 seed: int = 0, num_parallel: int = 1,
+                 reuse_cap: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+        from gymgo_tpu.rl.mcts import compact_subtree, empty_tree, run_mcts
+
+        self._jnp = jnp
+        self._jax = jax
+        self._cap = reuse_cap if reuse_cap is not None else simulations
+        self._key = jax.random.PRNGKey(seed)
+        self._tree = None
+        self._empty = None  # built lazily from the first state's shape
+        cap = self._cap
+
+        @jax.jit
+        def _run(key, state, warm):
+            res, tree = run_mcts(
+                key, state[None].astype(jnp.int8), params, apply_fn,
+                num_simulations=simulations, komi=komi,
+                num_parallel=num_parallel, dirichlet_fraction=0.0,
+                warm_tree=warm, return_tree=True,
+            )
+            action = jnp.argmax(res.root_visits[0]).astype(jnp.int32)
+            return action, tree
+
+        self._run = _run
+        self._compact = jax.jit(
+            lambda tree, a: compact_subtree(tree, jnp.asarray([a]), cap)
+        )
+        self._empty_tree_fn = empty_tree
+
+    def on_move(self, action: int):
+        if self._tree is not None:
+            self._tree = self._compact(self._tree, action)
+
+    def on_reset(self):
+        self._tree = None
+
+    def __call__(self, state):
+        jnp = self._jnp
+        st = jnp.asarray(state)
+        if self._empty is None or self._empty.node_states.shape[2:] != st.shape:
+            self._empty = self._empty_tree_fn(
+                1, self._cap, st.shape[-1] * st.shape[-1] + 1,
+                st.shape, jnp.int8,
+            )
+            self._tree = None
+        warm = self._tree if self._tree is not None else self._empty
+        self._key, sub = self._jax.random.split(self._key)
+        action, tree = self._run(sub, st, warm)
+        self._tree = tree  # pre-move tree; engine's on_move descends it
+        return int(action)
+
+
 def make_net_genmove(checkpoint: str, board_size: int, channels: int,
                      blocks: int, simulations: int = 0,
-                     komi: float = 7.5, seed: int = 0) -> Callable:
-    """Mover from a trained AZNet checkpoint: greedy masked policy, or
-    Gumbel MCTS (sequential halving) when ``simulations`` > 0."""
+                     komi: float = 7.5, seed: int = 0,
+                     search: str = "gumbel", num_parallel: int = 1) -> Callable:
+    """Mover from a trained AZNet checkpoint: greedy masked policy, or —
+    when ``simulations`` > 0 — Gumbel MCTS (``search='gumbel'``, stateless
+    sequential halving) or PUCT with cross-move subtree reuse
+    (``search='puct'``)."""
     import jax
     import jax.numpy as jnp
 
@@ -252,6 +336,10 @@ def make_net_genmove(checkpoint: str, board_size: int, channels: int,
     net = AZNet(cfg)
     template = {"params": init_params(jax.random.PRNGKey(0), cfg)}
     params = ckpt.restore_npz(checkpoint, template)["params"]
+
+    if simulations > 0 and search == "puct":
+        return PUCTMover(params, net.apply, simulations, komi,
+                         seed=seed, num_parallel=num_parallel)
 
     if simulations > 0:
         from gymgo_tpu.rl.gumbel_mcts import run_gumbel_mcts
@@ -294,8 +382,13 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=3)
     ap.add_argument("--simulations", type=int, default=0,
-                    help=">0: genmove via Gumbel MCTS with this budget "
+                    help=">0: genmove via search with this budget "
                          "(requires --checkpoint)")
+    ap.add_argument("--search", choices=["gumbel", "puct"], default="gumbel",
+                    help="search for genmove: stateless Gumbel sequential "
+                         "halving, or PUCT with cross-move tree reuse")
+    ap.add_argument("--mcts-par", type=int, default=1,
+                    help="PUCT leaf-parallel virtual-loss wave width")
     args = ap.parse_args(argv)
 
     genmove_fn = None
@@ -303,6 +396,7 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
         genmove_fn = make_net_genmove(
             args.checkpoint, args.boardsize, args.channels, args.blocks,
             simulations=args.simulations, komi=args.komi, seed=args.seed,
+            search=args.search, num_parallel=args.mcts_par,
         )
     eng = GTPEngine(args.boardsize, args.komi, genmove_fn, args.seed)
     for line in sys.stdin:

@@ -98,3 +98,49 @@ def test_genmove_legality_stream():
         states, info = _step.step_states(states, jnp.asarray([a]))
         assert not bool(info.invalid_action[0])
     np.testing.assert_array_equal(np.asarray(states[0]), eng.state)
+
+
+def test_puct_mover_tree_reuse():
+    """PUCT genmove with cross-move subtree reuse: a full engine-vs-scripted
+    dialogue, tree descending through both players' moves, invalidation on
+    clear_board/undo, legality replay against the jax kernel."""
+    import jax
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.utils.gtp import PUCTMover
+
+    n = 5
+    netcfg = AZNetConfig(board_size=n, channels=8, blocks=1,
+                         policy_channels=2, value_channels=2)
+    net = AZNet(netcfg)
+    params = init_params(jax.random.PRNGKey(0), netcfg)
+    mover = PUCTMover(params, net.apply, simulations=8, komi=0.0, seed=1,
+                      num_parallel=2)
+    eng = GTPEngine(n, komi=0.0, genmove_fn=mover, seed=5)
+
+    resp, err, _ = eng.handle("genmove b")
+    assert not err
+    assert mover._tree is not None  # tree stored and descended via on_move
+
+    # opponent reply through `play` must also descend the stored tree
+    import numpy as np
+    legal = np.flatnonzero(eng.state[3].reshape(-1) == 0)
+    from gymgo_tpu.utils.gtp import _action_to_vertex
+    resp, err, _ = eng.handle(f"play w {_action_to_vertex(int(legal[0]), n)}")
+    assert not err
+    assert mover._tree is not None
+
+    # a few more search moves exercise the warm path end-to-end
+    for ply in range(4):
+        color = "b" if ply % 2 == 0 else "w"
+        resp, err, _ = eng.handle(f"genmove {color}")
+        assert not err, resp
+        if eng.state[5, 0, 0] != 0:
+            break
+
+    # undo and clear invalidate the carried tree
+    eng.handle("undo")
+    assert mover._tree is None
+    eng.handle("genmove " + ("b" if eng.state[2, 0, 0] == 0 else "w"))
+    assert mover._tree is not None
+    eng.handle("clear_board")
+    assert mover._tree is None
