@@ -254,20 +254,19 @@ def run_gumbel_mcts(
         revisit_value = outcome_for_mover(node_states[bidx, revisit_node])
         leaf_value = jnp.where(already, revisit_value, leaf_value)
 
-        # ---- backup along the path with per-ply sign flips.
+        # ---- backup along the path with per-ply sign flips: ONE batched
+        # scatter-add per array ((node, act) pairs on a path are distinct —
+        # strict descent — so this is bit-identical to the sequential loop).
         def backup_one(p_visit, p_wsum, path_n, path_a, depth, v_leaf):
-            def body(d, carry):
-                pv, pw = carry
-                on_path = d < depth
-                node = jnp.maximum(path_n[d], 0)
-                act = jnp.maximum(path_a[d], 0)
-                steps_up = depth - 1 - d
-                sign = jnp.where(steps_up % 2 == 0, -1.0, 1.0)
-                pv = pv.at[node, act].add(jnp.where(on_path, 1, 0))
-                pw = pw.at[node, act].add(jnp.where(on_path, sign * v_leaf, 0.0))
-                return pv, pw
-
-            return lax.fori_loop(0, max_depth, body, (p_visit, p_wsum))
+            d = jnp.arange(max_depth)
+            on_path = d < depth
+            nodes = jnp.where(on_path, path_n, 0)
+            acts = jnp.where(on_path, path_a, 0)
+            steps_up = depth - 1 - d
+            sign = jnp.where(steps_up % 2 == 0, -1.0, 1.0)
+            pv = p_visit.at[nodes, acts].add(on_path.astype(jnp.int32))
+            pw = p_wsum.at[nodes, acts].add(jnp.where(on_path, sign * v_leaf, 0.0))
+            return pv, pw
 
         visit, wsum = jax.vmap(backup_one)(
             visit, wsum, path_n, path_a, sel_depth, leaf_value

@@ -328,36 +328,34 @@ def run_mcts(
         # ---- backup along the path; value sign alternates per ply upward.
         # leaf_value is from the leaf mover's perspective; the edge into the
         # leaf belongs to the parent mover, i.e. -leaf_value at depth-1.
-        def backup_one(p_visit, p_wsum, path_n, path_a, depth, v_leaf):
-            def body(d, carry):
-                pv, pw = carry
-                on_path = d < depth
-                node = jnp.maximum(path_n[d], 0)
-                act = jnp.maximum(path_a[d], 0)
-                # contribution sign: edge at depth d gets (-1)^(depth-d) * ...
-                # Edge value from the edge-node mover's perspective: the
-                # deepest edge sees the leaf as its child => -v_leaf, and
-                # the sign alternates on the way up.
-                steps_up = depth - 1 - d
-                sign = jnp.where(steps_up % 2 == 0, -1.0, 1.0)
-                val = sign * v_leaf
-                pv = pv.at[node, act].add(jnp.where(on_path, 1, 0))
-                pw = pw.at[node, act].add(jnp.where(on_path, val, 0.0))
-                return pv, pw
+        # ONE batched scatter-add per array covers the whole path ((node,
+        # act) pairs on a path are distinct — strict descent — so update
+        # order is immaterial and results are bit-identical to the
+        # sequential per-depth loop, at 1/max_depth the scatter count).
+        depth_iota = jnp.arange(max_depth)
 
-            return lax.fori_loop(0, max_depth, body, (p_visit, p_wsum))
+        def backup_one(p_visit, p_wsum, path_n, path_a, depth, v_leaf):
+            on_path = depth_iota < depth
+            nodes = jnp.where(on_path, path_n, 0)
+            acts = jnp.where(on_path, path_a, 0)
+            # edge at depth d gets (-1)^(depth-1-d) * v_leaf: the deepest
+            # edge sees the leaf as its child => -v_leaf, alternating up.
+            steps_up = depth - 1 - depth_iota
+            sign = jnp.where(steps_up % 2 == 0, -1.0, 1.0)
+            pv = p_visit.at[nodes, acts].add(on_path.astype(jnp.int32))
+            pw = p_wsum.at[nodes, acts].add(
+                jnp.where(on_path, sign * v_leaf, 0.0)
+            )
+            return pv, pw
 
         # virtual loss: pretend each in-flight path's edges were visited and
         # lost (node mover's perspective), so later selections in the same
         # wave spread to different leaves.
         def vloss_one(p_vn, path_n, path_a, depth):
-            def body(d, pv):
-                on_path = d < depth
-                node = jnp.maximum(path_n[d], 0)
-                act = jnp.maximum(path_a[d], 0)
-                return pv.at[node, act].add(jnp.where(on_path, 1, 0))
-
-            return lax.fori_loop(0, max_depth, body, p_vn)
+            on_path = depth_iota < depth
+            nodes = jnp.where(on_path, path_n, 0)
+            acts = jnp.where(on_path, path_a, 0)
+            return p_vn.at[nodes, acts].add(on_path.astype(jnp.int32))
 
         # ---- K selections (batched virtual loss between them).
         root0 = jnp.zeros((b,), jnp.int32)
