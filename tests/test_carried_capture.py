@@ -139,3 +139,50 @@ def test_rollout_uses_carry_and_matches_stepwise():
             ref = jnp.where(done_pre[:, None, None, None], jnp.zeros_like(ref), ref)
         ref, _ = _jit_step_states(ref, r.actions[t])
     np.testing.assert_array_equal(np.asarray(r.final_states), np.asarray(ref))
+
+
+def test_carried_ko_surr_matches_stateless():
+    """A real ko: the carried ko_surr plane must reproduce the stateless
+    path's ko invalid-point bit-exactly, including its one-ply expiry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gymgo_tpu.core import step as _step
+
+    n = 5
+    # Canonical ko diamond:
+    #   . B W .
+    #   B W . W   (empty at (1,2))
+    #   . B W .
+    # Black to move: B plays (1,2), captures W(1,1) -> ko at (1,1) for white.
+    states = np.zeros((1, 6, n, n), np.int8)
+    B, W = 0, 1
+    for (r, c) in [(0, 1), (1, 0), (2, 1)]:
+        states[0, B, r, c] = 1
+    for (r, c) in [(0, 2), (1, 1), (1, 3), (2, 2)]:
+        states[0, W, r, c] = 1
+    states = jnp.asarray(states)
+    # INVD left all-zero: black playing (1,2) is legal (it captures W(1,1)).
+
+    ps = _step.planes_from_states(states)
+    ps_carried = ps._replace(
+        atari=_step.init_atari(ps), ko_surr=_step.init_ko_surr(ps)
+    )
+    a = jnp.asarray([1 * n + 2], jnp.int32)
+
+    ns_stateless, info_s = _step.step_planes(ps, a)
+    ns_carried, info_c = _step.step_planes(ps_carried, a)
+
+    np.testing.assert_array_equal(
+        np.asarray(ns_stateless.invd), np.asarray(ns_carried.invd)
+    )
+    # the ko point (1,1) must be invalid for white now
+    assert bool(ns_carried.invd[0, 1, 1])
+    assert int(info_c.num_captured[0]) == 1
+
+    # one-ply expiry: white plays elsewhere; ko point reopens identically
+    b2 = jnp.asarray([4 * n + 0], jnp.int32)
+    ns2_s, _ = _step.step_planes(ns_stateless, b2)
+    ns2_c, _ = _step.step_planes(ns_carried, b2)
+    np.testing.assert_array_equal(np.asarray(ns2_s.invd), np.asarray(ns2_c.invd))
+    assert not bool(ns2_c.invd[0, 1, 1])
