@@ -33,6 +33,8 @@ class StepResult(NamedTuple):
     invalid_action: jax.Array  # bool (B,): action was rejected (env frozen)
     was_done: jax.Array  # bool (B,): env was already finished at entry
     num_captured: jax.Array  # int32 (B,): stones captured by this step
+    black_area: jax.Array  # int32 (B,): Trump-Taylor area (post-step state)
+    white_area: jax.Array  # int32 (B,): free byproduct of the step's flood
 
 
 def reward_from_areas(black_area, white_area, done, config: EnvConfig):
@@ -68,6 +70,8 @@ def batch_step(
         invalid_action=info.invalid_action,
         was_done=info.was_done,
         num_captured=info.num_captured,
+        black_area=info.black_area,
+        white_area=info.white_area,
     )
 
 

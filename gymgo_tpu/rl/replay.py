@@ -17,6 +17,7 @@ class ReplayState(NamedTuple):
     obs: jax.Array  # (C, 6, N, N) int8
     policy: jax.Array  # (C, A) f32
     value: jax.Array  # (C,) f32
+    mask: jax.Array  # (C,) bool: row is a live-game step (trains the loss)
     cursor: jax.Array  # int32 scalar: next write slot
     filled: jax.Array  # int32 scalar: number of valid rows
 
@@ -32,26 +33,36 @@ class ReplayBuffer:
             obs=jnp.zeros((self.capacity, 6, n, n), jnp.int8),
             policy=jnp.zeros((self.capacity, n * n + 1), jnp.float32),
             value=jnp.zeros((self.capacity,), jnp.float32),
+            mask=jnp.zeros((self.capacity,), jnp.bool_),
             cursor=jnp.zeros((), jnp.int32),
             filled=jnp.zeros((), jnp.int32),
         )
 
-    def add(self, state: ReplayState, obs, policy, value) -> ReplayState:
+    def add(self, state: ReplayState, obs, policy, value, mask=None) -> ReplayState:
         """Append M rows (wrapping).  Shapes: obs (M,6,N,N), policy (M,A),
-        value (M,)."""
+        value (M,), mask (M,) bool (default: all live).  Dead rows (a game
+        boundary step under auto-reset) are stored but flagged so the
+        learner's loss masks them out."""
         m = obs.shape[0]
+        if mask is None:
+            mask = jnp.ones((m,), jnp.bool_)
         idx = (state.cursor + jnp.arange(m)) % self.capacity
         return ReplayState(
             obs=state.obs.at[idx].set(obs.astype(jnp.int8)),
             policy=state.policy.at[idx].set(policy),
             value=state.value.at[idx].set(value),
+            mask=state.mask.at[idx].set(mask),
             cursor=(state.cursor + m) % self.capacity,
             filled=jnp.minimum(state.filled + m, self.capacity),
         )
 
     def sample(self, state: ReplayState, key: jax.Array, batch_size: int):
-        """Uniform sample with replacement over the filled region."""
+        """Uniform sample with replacement over the filled region.
+        Returns (obs, policy, value, mask)."""
         idx = jax.random.randint(
             key, (batch_size,), 0, jnp.maximum(state.filled, 1)
         )
-        return state.obs[idx], state.policy[idx], state.value[idx]
+        return (
+            state.obs[idx], state.policy[idx], state.value[idx],
+            state.mask[idx],
+        )

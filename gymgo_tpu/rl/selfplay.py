@@ -29,6 +29,45 @@ class SelfPlayBatch(NamedTuple):
     policy_target: jax.Array  # f32 (T, B, N*N+1)
     value_target: jax.Array  # f32 (T, B): game outcome, mover's perspective
     mask: jax.Array  # bool (T, B): step was part of a live game
+    mover_white: jax.Array | None = None  # bool (T, B): white made this move
+    done: jax.Array | None = None  # bool (T, B): game ended AT this step
+
+
+def per_game_value_targets(done, sign, final_states, mover_white, komi):
+    """Per-step game outcomes across auto-reset game boundaries.
+
+    With ``auto_reset`` one scan window spans several games per env; the
+    naive choice (the window-final winner for every step) assigns earlier
+    games the outcome of a LATER, unrelated game — measured to destroy
+    value learning.  Here each step's target is the outcome of its OWN
+    game: a reverse scan backward-fills the terminal sign recorded at each
+    game's ending step; steps of the window's truncated last game fall
+    back to the current winner sign of the final state (bootstrap-free
+    approximation, as before).
+
+    done, sign: (T, B) post-step done flags and terminal outcome signs
+    from black's perspective (read where done).  Returns (T, B) value
+    targets from each step's mover's perspective.
+    """
+    z_final = _score.winning(final_states, komi)
+
+    def back(carry, ds):
+        d, s = ds
+        z = jnp.where(d, s, carry)
+        return z, z
+
+    _, z_black = lax.scan(back, z_final, (done, sign), reverse=True)
+    return jnp.where(mover_white, -z_black, z_black)
+
+
+def _outcome_sign(res, komi):
+    """Terminal outcome sign from black's perspective, from the step's own
+    fused Trump-Taylor areas (meaningful where ``res.done``)."""
+    return jnp.sign(
+        res.black_area.astype(jnp.float32)
+        - res.white_area.astype(jnp.float32)
+        - komi
+    )
 
 
 def policy_actions(key, states, apply_fn, params, temperature=1.0):
@@ -51,9 +90,16 @@ def selfplay_rollout(
 ) -> tuple[jax.Array, SelfPlayBatch]:
     """Roll ``num_steps`` of net-guided self-play from ``states``.
 
-    Value targets use the final winner sign of each env's state at scan end
-    (exact for finished games; bootstrap-free approximation for truncated
-    ones), flipped to each step's mover perspective.
+    Value targets are each step's OWN game outcome (auto-reset boundaries
+    respected, see ``per_game_value_targets``), flipped to the mover's
+    perspective.
+
+    NOTE: the policy target here is the net's own masked softmax — there is
+    no policy-improvement operator in this mode, and trained nets collapse
+    toward always-pass (the one action whose target mass is never zeroed by
+    the validity mask).  Use ``selfplay_search_rollout`` (or the MCTS/Gumbel
+    rollouts) for actual AZ learning; this mode exists as the cheap
+    data-generation baseline.
     """
 
     def body(carry, _):
@@ -65,16 +111,18 @@ def selfplay_rollout(
         live = ~_state.game_ended(st)
         new_st, res = _batch_env.batch_step(st, acts, config)
         probs = jax.nn.softmax(masked_logits, axis=-1)
-        return (new_st, k), (canonical, probs, mover_is_white, live)
+        return (new_st, k), (
+            canonical, probs, mover_is_white, live,
+            res.done, _outcome_sign(res, config.komi),
+        )
 
-    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+    (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    # Outcome from black's perspective, per env, then per-step mover flip.
-    z_black = _score.winning(final_states, config.komi)  # f32 (B,)
-    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
     return final_states, SelfPlayBatch(
-        obs=obs, policy_target=probs, value_target=z, mask=live
+        obs=obs, policy_target=probs, value_target=z, mask=live,
+        mover_white=mover_white, done=done,
     )
 
 
@@ -103,16 +151,19 @@ def selfplay_search_rollout(
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
-        new_st, _ = _batch_env.batch_step(st, res.actions, config)
-        return (new_st, k), (canonical, res.improved_policy, mover_is_white, live)
+        new_st, step_res = _batch_env.batch_step(st, res.actions, config)
+        return (new_st, k), (
+            canonical, res.improved_policy, mover_is_white, live,
+            step_res.done, _outcome_sign(step_res, config.komi),
+        )
 
-    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+    (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    z_black = _score.winning(final_states, config.komi)
-    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
     return final_states, SelfPlayBatch(
-        obs=obs, policy_target=probs, value_target=z, mask=live
+        obs=obs, policy_target=probs, value_target=z, mask=live,
+        mover_white=mover_white, done=done,
     )
 
 
@@ -188,7 +239,7 @@ def selfplay_mcts_rollout(
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
-        new_st, _ = _batch_env.batch_step(st, res.actions, config)
+        new_st, step_res = _batch_env.batch_step(st, res.actions, config)
         if mode != "off":
             # Invalid when this root was already done (auto-reset means the
             # tree stepped a board the env replaced) or the game just ended.
@@ -208,6 +259,7 @@ def selfplay_mcts_rollout(
                 )
         return (new_st, warm, k), (
             canonical, res.visit_policy, mover_is_white, live,
+            step_res.done, _outcome_sign(step_res, config.komi),
         )
 
     if mode == "subtree":
@@ -217,13 +269,13 @@ def selfplay_mcts_rollout(
             jnp.zeros((b, a_size), jnp.int32),
             jnp.zeros((b, a_size), jnp.float32),
         )
-    (final_states, _, _), (obs, probs, mover_white, live) = lax.scan(
+    (final_states, _, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, warm0, key), None, length=num_steps
     )
-    z_black = _score.winning(final_states, config.komi)
-    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
     return final_states, SelfPlayBatch(
-        obs=obs, policy_target=probs, value_target=z, mask=live
+        obs=obs, policy_target=probs, value_target=z, mask=live,
+        mover_white=mover_white, done=done,
     )
 
 
@@ -254,14 +306,17 @@ def selfplay_gumbel_rollout(
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
-        new_st, _ = _batch_env.batch_step(st, res.actions, config)
-        return (new_st, k), (canonical, res.improved_policy, mover_is_white, live)
+        new_st, step_res = _batch_env.batch_step(st, res.actions, config)
+        return (new_st, k), (
+            canonical, res.improved_policy, mover_is_white, live,
+            step_res.done, _outcome_sign(step_res, config.komi),
+        )
 
-    (final_states, _), (obs, probs, mover_white, live) = lax.scan(
+    (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    z_black = _score.winning(final_states, config.komi)
-    z = jnp.where(mover_white, -z_black[None, :], z_black[None, :])
+    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
     return final_states, SelfPlayBatch(
-        obs=obs, policy_target=probs, value_target=z, mask=live
+        obs=obs, policy_target=probs, value_target=z, mask=live,
+        mover_white=mover_white, done=done,
     )

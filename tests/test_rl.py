@@ -50,6 +50,61 @@ def test_selfplay_rollout_legal_and_shaped():
     assert np.all(np.asarray(batch.obs)[:, :, 2] == 0)
 
 
+def test_per_game_value_targets_backfill():
+    """The reverse-scan backward fill must give every step the terminal sign
+    of its OWN game (auto-reset boundaries), with the truncated tail falling
+    back to the final state's current winner sign."""
+    from gymgo_tpu.rl.selfplay import per_game_value_targets
+
+    T, B = 7, 2
+    done = jnp.array([[0, 0], [1, 0], [0, 0], [0, 1], [1, 0], [0, 0], [0, 0]],
+                     dtype=bool)
+    sign = jnp.array([[9., 9.], [1., 9.], [9., 9.], [9., -1.], [-1., 9.],
+                      [9., 9.], [9., 9.]])  # 9s = garbage where not done
+    final_states = _state.batch_init_state(B, 5)  # empty => winning == 0
+    mover_white = jnp.zeros((T, B), bool)  # keep black's perspective
+    z = np.asarray(per_game_value_targets(done, sign, final_states,
+                                          mover_white, komi=0.0))
+    # env 0: game A ends t=1 (+1), game B ends t=4 (-1), tail -> 0
+    np.testing.assert_array_equal(z[:, 0], [1, 1, -1, -1, -1, 0, 0])
+    # env 1: game ends t=3 (-1), tail -> 0
+    np.testing.assert_array_equal(z[:, 1], [-1, -1, -1, -1, 0, 0, 0])
+    # mover flip applies per step
+    mw = jnp.ones((T, B), bool)
+    z2 = np.asarray(per_game_value_targets(done, sign, final_states, mw, 0.0))
+    np.testing.assert_array_equal(z2, -z)
+
+
+def test_selfplay_value_targets_respect_game_boundaries():
+    """Integration: in an auto-reset rollout long enough to span several
+    games per env, the black-perspective value target must be constant
+    within each game segment and equal the final state's winner sign on the
+    truncated tail."""
+    net, params, netcfg = _small_net(5)
+    env_cfg = EnvConfig(board_size=5, batch_size=8, auto_reset=True)
+    states = _state.batch_init_state(8, 5)
+    final, batch = jax.jit(
+        lambda k, s, p: selfplay_rollout(k, s, p, net.apply, 120, env_cfg)
+    )(jax.random.PRNGKey(5), states, params)
+    from gymgo_tpu.core import score as _score_mod
+
+    done = np.asarray(batch.done)
+    mw = np.asarray(batch.mover_white)
+    z = np.asarray(batch.value_target)
+    z_black = np.where(mw, -z, z)
+    z_final = np.asarray(_score_mod.winning(final, env_cfg.komi))
+    T, B = done.shape
+    assert done.any(), "rollout too short to cross a game boundary"
+    for b in range(B):
+        expect = z_final[b]
+        for t in range(T - 1, -1, -1):  # walk backward mirroring the fill
+            if done[t, b]:
+                expect = z_black[t, b]  # boundary defines its segment
+                assert expect in (-1.0, 0.0, 1.0)
+            else:
+                assert z_black[t, b] == expect, (t, b)
+
+
 def test_train_step_reduces_loss_on_fixed_batch():
     net, params, netcfg = _small_net(5)
     state, tx = make_train_state(params, learning_rate=1e-2)
@@ -76,10 +131,12 @@ def test_replay_buffer_wraps_and_samples():
     v = jnp.ones((6,))
     bs = buf.add(bs, obs, pi, v)
     assert int(bs.filled) == 6 and int(bs.cursor) == 6
-    bs = buf.add(bs, obs * 2, pi, -v)
+    m2 = jnp.array([True, False, True, True, True, False])
+    bs = buf.add(bs, obs * 2, pi, -v, m2)
     assert int(bs.filled) == 10 and int(bs.cursor) == 2
-    o, p, val = buf.sample(bs, jax.random.PRNGKey(0), 8)
+    o, p, val, mask = buf.sample(bs, jax.random.PRNGKey(0), 8)
     assert o.shape == (8, 6, 5, 5)
+    assert mask.shape == (8,) and mask.dtype == jnp.bool_
 
 
 def test_checkpoint_roundtrip(tmp_path):

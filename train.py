@@ -44,9 +44,13 @@ def main():
                          "improved policies")
     ap.add_argument("--gumbel-m", type=int, default=16,
                     help="max root actions considered by sequential halving")
-    ap.add_argument("--search-k", type=int, default=0,
+    ap.add_argument("--search-k", type=int, default=8,
                     help=">0: one-ply Gumbel lookahead self-play with this "
-                         "many sampled actions; targets = improved policies")
+                         "many sampled actions; targets = improved policies. "
+                         "0 disables search: the policy then trains on its "
+                         "OWN softmax — no improvement operator — and "
+                         "collapses toward always-pass (kept as the cheap "
+                         "data-generation baseline, not for real training)")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--eval-every", type=int, default=0,
@@ -141,8 +145,7 @@ def main():
 
     @jax.jit
     def learn_iter(train_state, buf_state, key):
-        obs, pi, v = buf.sample(buf_state, key, args.train_batch)
-        mask = jnp.ones((args.train_batch,), bool)
+        obs, pi, v, mask = buf.sample(buf_state, key, args.train_batch)
         return train_step(train_state, tx, net.apply, (obs, pi, v, mask))
 
     from gymgo_tpu.core.actions import uniform_random_actions
@@ -202,7 +205,7 @@ def main():
         if args.augment:
             key, aug_key = jax.random.split(key)
             obs, pi = jax.jit(augment_symmetries)(aug_key, obs, pi)
-        buf_state = jax.jit(buf.add)(buf_state, obs, pi, v)
+        buf_state = jax.jit(buf.add)(buf_state, obs, pi, v, mask)
         train_state, metrics = learn_iter(train_state, buf_state, lr_key)
         sps = meter.update(args.envs * args.rollout_steps)
         print(
