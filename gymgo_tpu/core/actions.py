@@ -19,6 +19,7 @@ __all__ = [
     "children",
     "uniform_random_actions",
     "weighted_random_actions",
+    "mask_early_pass",
 ]
 
 
@@ -37,6 +38,31 @@ def batch_invalid_moves(states: jax.Array) -> jax.Array:
 
 def batch_valid_moves(states: jax.Array) -> jax.Array:
     return 1.0 - batch_invalid_moves(states)
+
+
+def mask_early_pass(valid, states, min_stones: int):
+    """Disallow pass while the board holds fewer than ``min_stones`` stones
+    and another legal move exists.
+
+    Self-play cold-start constraint (the MiniGo-style "no pass before move
+    N" rule, keyed on the Markov stone count instead of a move counter so it
+    composes with auto-reset): nets bootstrapped from degenerate ultra-short
+    mutual-pass games learn "pass when ahead", which is equilibrium play
+    against themselves but loses tempo after tempo against any opponent who
+    keeps playing.  Forcing self-play games past the opening produces real
+    game data; pass is always allowed once no other legal move exists.
+
+    ``valid``: bool/0-1 (B, N*N+1) with pass last; returns bool."""
+    valid = valid > 0 if valid.dtype != jnp.bool_ else valid
+    if min_stones <= 0:
+        return valid
+    b = states.shape[0]
+    stones = jnp.sum(
+        states[:, :2].astype(jnp.int32).reshape(b, -1), axis=1
+    )
+    board_any = jnp.any(valid[:, :-1], axis=1)
+    allow_pass = (stones >= min_stones) | ~board_any
+    return valid.at[:, -1].set(valid[:, -1] & allow_pass)
 
 
 def children(state: jax.Array, canonical: bool = False) -> jax.Array:

@@ -12,4 +12,4 @@ from gymgo_tpu.rl.mcts import (
     played_child_stats,
 )
 from gymgo_tpu.rl.gumbel_mcts import run_gumbel_mcts, make_gumbel_mcts_policy, GumbelMCTSResult
-from gymgo_tpu.rl.evaluate import play_match, MatchResult
+from gymgo_tpu.rl.evaluate import play_match, with_pass_to_win, MatchResult

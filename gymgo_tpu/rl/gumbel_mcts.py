@@ -82,9 +82,14 @@ def run_gumbel_mcts(
     c_visit: float = 50.0,
     c_scale: float = 1.0,
     komi: float = 0.0,
+    pass_min_stones: int = 0,
 ) -> GumbelMCTSResult:
     """Run Gumbel MCTS from each state.  ``apply_fn(params, canonical) ->
-    (logits, value)`` with value from the canonical mover's perspective."""
+    (logits, value)`` with value from the canonical mover's perspective.
+
+    ``pass_min_stones`` > 0 applies the self-play opening constraint
+    (actions.mask_early_pass) to the ROOT action set only — interior nodes
+    search the full rules."""
     b = states.shape[0]
     n = states.shape[-1]
     a_size = n * n + 1
@@ -102,6 +107,8 @@ def run_gumbel_mcts(
         return masked, value, valid
 
     root_logits, root_value_net, valid_root = masked_policy(states)
+    valid_root = _actions.mask_early_pass(valid_root, states, pass_min_stones)
+    root_logits = jnp.where(valid_root, root_logits, -jnp.inf)
     g = jax.random.gumbel(key, (b, a_size))
     # Gumbel-top-m without replacement over valid actions.
     _, cand = lax.top_k(jnp.where(valid_root, root_logits + g, -jnp.inf), m)

@@ -205,6 +205,7 @@ def run_mcts(
     warm_root=None,
     warm_tree: MCTSTree | None = None,
     return_tree: bool = False,
+    pass_min_stones: int = 0,
 ):
     """Run PUCT search from each state in the batch.  ``apply_fn(params, s)
     -> (logits, value)`` with value from the canonical mover's perspective.
@@ -254,6 +255,10 @@ def run_mcts(
         noise_key, jnp.full((a_size,), dirichlet_alpha), (b,)
     )
     valid_root = _actions.batch_valid_moves(states) > 0
+    # Self-play opening constraint on the ROOT action set only (interior
+    # nodes search the full rules); see actions.mask_early_pass.
+    valid_root = _actions.mask_early_pass(valid_root, states, pass_min_stones)
+    root_prior = jnp.where(valid_root, root_prior, 0.0)
     noisy = root_prior * (1 - dirichlet_fraction) + noise * dirichlet_fraction
     noisy = jnp.where(valid_root, noisy, 0.0)
     root_prior = noisy / jnp.sum(noisy, axis=-1, keepdims=True)

@@ -40,8 +40,12 @@ def gumbel_oneply(
     num_sampled: int = 16,
     c_q: float = 1.0,
     komi: float = 0.0,
+    pass_min_stones: int = 0,
 ) -> SearchResult:
-    """Select actions by one-ply value lookahead over Gumbel-sampled moves."""
+    """Select actions by one-ply value lookahead over Gumbel-sampled moves.
+
+    ``pass_min_stones`` > 0 applies the self-play opening constraint to the
+    root action set (actions.mask_early_pass)."""
     b = states.shape[0]
     n = states.shape[-1]
     a_size = n * n + 1
@@ -50,6 +54,7 @@ def gumbel_oneply(
     canonical = _transform.batch_canonical_form(states)
     logits, _ = apply_fn(params, canonical)
     valid = _actions.batch_valid_moves(states) > 0
+    valid = _actions.mask_early_pass(valid, states, pass_min_stones)
     masked = jnp.where(valid, logits, -jnp.inf)
 
     g = jax.random.gumbel(key, (b, a_size))

@@ -70,11 +70,16 @@ def _outcome_sign(res, komi):
     )
 
 
-def policy_actions(key, states, apply_fn, params, temperature=1.0):
-    """Sample actions from the net's masked policy over canonical states."""
+def policy_actions(key, states, apply_fn, params, temperature=1.0,
+                   pass_min_stones: int = 0):
+    """Sample actions from the net's masked policy over canonical states.
+
+    ``pass_min_stones`` > 0 applies the self-play opening constraint
+    (actions.mask_early_pass)."""
     canonical = _transform.batch_canonical_form(states)
     logits, _ = apply_fn(params, canonical)
     valid = _actions.batch_valid_moves(states) > 0
+    valid = _actions.mask_early_pass(valid, states, pass_min_stones)
     masked = jnp.where(valid, logits / jnp.maximum(temperature, 1e-6), -jnp.inf)
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32), masked
 
@@ -87,6 +92,7 @@ def selfplay_rollout(
     num_steps: int,
     config: EnvConfig,
     temperature: float = 1.0,
+    pass_min_stones: int = 0,
 ) -> tuple[jax.Array, SelfPlayBatch]:
     """Roll ``num_steps`` of net-guided self-play from ``states``.
 
@@ -105,7 +111,9 @@ def selfplay_rollout(
     def body(carry, _):
         st, k = carry
         k, sub = jax.random.split(k)
-        acts, masked_logits = policy_actions(sub, st, apply_fn, params, temperature)
+        acts, masked_logits = policy_actions(
+            sub, st, apply_fn, params, temperature, pass_min_stones
+        )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
         live = ~_state.game_ended(st)
@@ -135,6 +143,7 @@ def selfplay_search_rollout(
     config: EnvConfig,
     num_sampled: int = 16,
     c_q: float = 1.0,
+    pass_min_stones: int = 0,
 ):
     """Self-play driven by the one-ply Gumbel lookahead (rl.search); policy
     targets are the search-improved distributions instead of the raw net
@@ -147,6 +156,7 @@ def selfplay_search_rollout(
         res = gumbel_oneply(
             sub, st, params, apply_fn,
             num_sampled=num_sampled, c_q=c_q, komi=config.komi,
+            pass_min_stones=pass_min_stones,
         )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
@@ -196,6 +206,7 @@ def selfplay_mcts_rollout(
     num_simulations: int = 32,
     tree_reuse=False,
     reuse_cap: int | None = None,
+    pass_min_stones: int = 0,
     **mcts_kw,
 ):
     """Full-AZ self-play: MCTS action selection with visit-count policy
@@ -234,7 +245,8 @@ def selfplay_mcts_rollout(
         res, tree = run_mcts(
             sub, st, params, apply_fn,
             num_simulations=num_simulations, komi=config.komi,
-            return_tree=True, **warm_kw, **mcts_kw,
+            return_tree=True, pass_min_stones=pass_min_stones,
+            **warm_kw, **mcts_kw,
         )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1
@@ -288,6 +300,7 @@ def selfplay_gumbel_rollout(
     config: EnvConfig,
     num_simulations: int = 32,
     max_considered: int = 16,
+    pass_min_stones: int = 0,
     **gumbel_kw,
 ):
     """Gumbel-AZ self-play: sequential-halving search actions with
@@ -301,7 +314,7 @@ def selfplay_gumbel_rollout(
         res = run_gumbel_mcts(
             sub, st, params, apply_fn,
             num_simulations=num_simulations, max_considered=max_considered,
-            komi=config.komi, **gumbel_kw,
+            komi=config.komi, pass_min_stones=pass_min_stones, **gumbel_kw,
         )
         canonical = _transform.batch_canonical_form(st)
         mover_is_white = _state.turn(st) == 1

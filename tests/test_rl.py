@@ -105,6 +105,63 @@ def test_selfplay_value_targets_respect_game_boundaries():
                 assert z_black[t, b] == expect, (t, b)
 
 
+def test_mask_early_pass():
+    """Pass is forbidden while stones < threshold and a board move exists,
+    allowed at/after the threshold, and always allowed when it is the only
+    legal action."""
+    from gymgo_tpu.core.actions import batch_valid_moves, mask_early_pass
+
+    states = _state.batch_init_state(3, 3)
+    s = np.array(states)  # writable copy
+    s[1, 0, 0, :] = 1  # env 1: 3 stones -> at threshold 3, pass allowed
+    # env 2: board full -> no board move valid, pass must stay allowed
+    s[2, 0] = 1
+    s[2, 3] = 1  # all points invalid (occupied)
+    states = jnp.asarray(s)
+    valid = batch_valid_moves(states) > 0
+    out = mask_early_pass(valid, states, min_stones=3)
+    assert not bool(out[0, -1])  # empty board, threshold 3: no pass
+    assert bool(out[1, -1])  # 3 stones: pass allowed again
+    assert bool(out[2, -1])  # full board: pass is the only action
+    # board moves untouched
+    np.testing.assert_array_equal(np.asarray(out[:, :-1]),
+                                  np.asarray(valid[:, :-1]))
+    # threshold 0 is the identity
+    out0 = mask_early_pass(valid, states, min_stones=0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(valid))
+
+
+def test_with_pass_to_win():
+    """The match-play wrapper passes exactly when passing seals a win, never
+    cedes a tempo otherwise, and still passes when no board move exists."""
+    from gymgo_tpu.rl import with_pass_to_win
+
+    n = 5
+    pass_idx = n * n
+    always_pass = lambda k, s: jnp.full((s.shape[0],), pass_idx, jnp.int32)
+    play_00 = lambda k, s: jnp.zeros((s.shape[0],), jnp.int32)
+
+    s = np.zeros((3, 6, n, n), np.int8)
+    # env 0: black to move, prev passed, black ahead -> pass wins NOW
+    s[0, 0, :3, :] = 1
+    s[0, 4] = 1
+    # env 1: black to move, prev passed, black BEHIND -> pass would lose
+    s[1, 1, :3, :] = 1
+    s[1, 4] = 1
+    # env 2: like env 0 but previous move was NOT a pass -> pass ends nothing
+    s[2, 0, :3, :] = 1
+    states = jnp.asarray(s)
+
+    acts = with_pass_to_win(always_pass)(jax.random.PRNGKey(0), states)
+    assert int(acts[0]) == pass_idx  # winning pass forced through
+    assert int(acts[1]) != pass_idx  # losing pass replaced by a board move
+    assert int(acts[2]) != pass_idx  # non-ending pass replaced
+    # a winning pass overrides even a policy that wanted to play on
+    acts2 = with_pass_to_win(play_00)(jax.random.PRNGKey(0), states)
+    assert int(acts2[0]) == pass_idx
+    assert int(acts2[1]) == 0 and int(acts2[2]) == 0  # board moves untouched
+
+
 def test_train_step_reduces_loss_on_fixed_batch():
     net, params, netcfg = _small_net(5)
     state, tx = make_train_state(params, learning_rate=1e-2)

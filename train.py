@@ -51,12 +51,30 @@ def main():
                          "OWN softmax — no improvement operator — and "
                          "collapses toward always-pass (kept as the cheap "
                          "data-generation baseline, not for real training)")
+    ap.add_argument("--pass-min-stones", type=int, default=-1,
+                    help="forbid pass in self-play while the board holds "
+                         "fewer stones than this and another legal move "
+                         "exists (cold-start fix: nets bootstrapped from "
+                         "ultra-short mutual-pass games learn pass-when-"
+                         "ahead, which loses tempo vs any opponent that "
+                         "keeps playing). -1 = auto (board_size^2 // 2); "
+                         "0 disables")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--eval-every", type=int, default=0,
                     help=">0: every K iters, match the current net (one-ply "
                          "search) against uniform random and log win rate")
     ap.add_argument("--eval-games", type=int, default=64)
+    ap.add_argument("--eval-sims", type=int, default=0,
+                    help=">0: evaluate with full Gumbel MCTS at this many "
+                         "simulations instead of the one-ply k=8 lookahead")
+    ap.add_argument("--eval-raw-pass", action="store_true",
+                    help="evaluate WITHOUT the pass-to-win match rule "
+                         "(rl.evaluate.with_pass_to_win). Self-play nets "
+                         "pass 'when ahead' — correct vs themselves, tempo "
+                         "suicide vs opponents who keep playing — so raw "
+                         "winrates mostly measure pass etiquette, not "
+                         "strength")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help=">0: also save the checkpoint every K iterations "
@@ -110,6 +128,11 @@ def main():
     buf = ReplayBuffer(args.replay_capacity, args.board)
     buf_state = buf.init()
 
+    pass_min = (
+        args.board * args.board // 2
+        if args.pass_min_stones < 0 else args.pass_min_stones
+    )
+
     @jax.jit
     def selfplay_iter(key, states, params):
         if args.gumbel_sims > 0:
@@ -117,6 +140,7 @@ def main():
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_simulations=args.gumbel_sims,
                 max_considered=args.gumbel_m,
+                pass_min_stones=pass_min,
             )
         elif args.mcts_sims > 0:
             final, batch = selfplay_mcts_rollout(
@@ -124,16 +148,19 @@ def main():
                 num_simulations=args.mcts_sims,
                 num_parallel=args.mcts_par,
                 tree_reuse=args.mcts_reuse or False,
+                pass_min_stones=pass_min,
             )
         elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_sampled=args.search_k,
+                pass_min_stones=pass_min,
             )
         else:
             final, batch = selfplay_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 temperature=args.temperature,
+                pass_min_stones=pass_min,
             )
         t, b = batch.value_target.shape
         flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
@@ -149,12 +176,23 @@ def main():
         return train_step(train_state, tx, net.apply, (obs, pi, v, mask))
 
     from gymgo_tpu.core.actions import uniform_random_actions
-    from gymgo_tpu.rl import make_search_policy, play_match
+    from gymgo_tpu.rl import (
+        make_gumbel_mcts_policy, make_search_policy, play_match,
+        with_pass_to_win,
+    )
 
     @jax.jit
     def eval_match(key, params):
-        policy = make_search_policy(params, net.apply, num_sampled=8,
-                                    komi=args.komi)
+        if args.eval_sims > 0:
+            policy = make_gumbel_mcts_policy(
+                params, net.apply, num_simulations=args.eval_sims,
+                max_considered=args.gumbel_m, komi=args.komi,
+            )
+        else:
+            policy = make_search_policy(params, net.apply, num_sampled=8,
+                                        komi=args.komi)
+        if not args.eval_raw_pass:
+            policy = with_pass_to_win(policy, komi=args.komi)
         return play_match(
             key, policy, uniform_random_actions, env_cfg,
             num_games=args.eval_games,
