@@ -57,10 +57,16 @@ class GTPEngine:
     """Stateful GTP command processor (one game at a time)."""
 
     def __init__(self, board_size: int = 19, komi: float = 7.5,
-                 genmove_fn: Optional[Callable] = None, seed: int = 0):
+                 genmove_fn: Optional[Callable] = None, seed: int = 0,
+                 match_pass_rule: bool = True):
         self.komi = komi
         self._genmove_fn = genmove_fn
         self._rng = np.random.default_rng(seed)
+        # Match-play pass discipline (rl.evaluate.with_pass_to_win's rule):
+        # pass ONLY when it immediately ends the game as a win, or when no
+        # board move is legal.  Self-play-trained nets otherwise "pass when
+        # ahead", ceding a free move per pass to opponents who keep playing.
+        self._match_pass_rule = match_pass_rule
         self._set_boardsize(board_size)
 
     # -- state helpers ------------------------------------------------------
@@ -126,9 +132,29 @@ class GTPEngine:
 
     def _genmove(self) -> int:
         if self._genmove_fn is not None:
-            return int(self._genmove_fn(self.state))
-        acts = self._legal_actions()
-        return int(self._rng.choice(acts))
+            action = int(self._genmove_fn(self.state))
+        else:
+            action = int(self._rng.choice(self._legal_actions()))
+        if self._match_pass_rule:
+            action = self._apply_pass_rule(action)
+        return action
+
+    def _apply_pass_rule(self, action: int) -> int:
+        from gymgo_tpu import gogame
+
+        pass_idx = self.n * self.n
+        board_moves = self._legal_actions()[:-1]
+        prev_passed = bool(self.state[govars.PASS_CHNL, 0, 0])
+        black_area, white_area = gogame.areas(self.state.astype(np.float64))
+        lead = float(black_area - white_area - self.komi)
+        if self._turn() == 1:
+            lead = -lead
+        win_by_pass = prev_passed and lead > 0
+        if win_by_pass:
+            return pass_idx
+        if action == pass_idx and len(board_moves):
+            return int(self._rng.choice(board_moves))
+        return action
 
     # -- command dispatch ---------------------------------------------------
 
@@ -389,6 +415,9 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
                          "halving, or PUCT with cross-move tree reuse")
     ap.add_argument("--mcts-par", type=int, default=1,
                     help="PUCT leaf-parallel virtual-loss wave width")
+    ap.add_argument("--raw-pass", action="store_true",
+                    help="disable the match-play pass rule (pass only when "
+                         "it immediately wins, or nothing else is legal)")
     args = ap.parse_args(argv)
 
     genmove_fn = None
@@ -398,7 +427,8 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
             simulations=args.simulations, komi=args.komi, seed=args.seed,
             search=args.search, num_parallel=args.mcts_par,
         )
-    eng = GTPEngine(args.boardsize, args.komi, genmove_fn, args.seed)
+    eng = GTPEngine(args.boardsize, args.komi, genmove_fn, args.seed,
+                    match_pass_rule=not args.raw_pass)
     for line in sys.stdin:
         resp, _err, should_quit = eng.handle(line)
         if resp is not None:

@@ -100,6 +100,32 @@ def test_genmove_legality_stream():
     np.testing.assert_array_equal(np.asarray(states[0]), eng.state)
 
 
+def test_genmove_match_pass_rule():
+    """genmove passes exactly when passing seals a win; never passes while
+    board moves exist otherwise (match_pass_rule default)."""
+    eng = GTPEngine(5, komi=0.0, seed=1)
+    # black clearly ahead; white just passed -> black's pass ends a won game
+    s = np.zeros((6, 5, 5), np.int8)
+    s[0, :3, :] = 1
+    s[4] = 1  # PASS_CHNL: previous move was a pass
+    eng.state = s
+    resp, err, _ = eng.handle("genmove b")
+    assert not err and resp.strip().split()[-1] == "pass"
+
+    # fresh board: the random fallback must never answer pass early
+    eng2 = GTPEngine(5, komi=0.0, seed=1)
+    for ply in range(6):
+        resp, err, _ = eng2.handle(f"genmove {'b' if ply % 2 == 0 else 'w'}")
+        assert not err
+        assert resp.strip().split()[-1] != "pass"
+
+    # --raw-pass behavior: rule disabled, mover's pass goes through
+    eng3 = GTPEngine(5, komi=0.0, genmove_fn=lambda st: 25,
+                     match_pass_rule=False)
+    resp, err, _ = eng3.handle("genmove b")
+    assert not err and resp.strip().split()[-1] == "pass"
+
+
 def test_puct_mover_tree_reuse():
     """PUCT genmove with cross-move subtree reuse: a full engine-vs-scripted
     dialogue, tree descending through both players' moves, invalidation on
