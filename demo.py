@@ -42,13 +42,20 @@ def make_net_ai():
         params = ckpt.restore_npz(args.checkpoint, {"params": params})["params"]
     key = jax.random.PRNGKey(np.random.randint(1 << 30))
 
+    from gymgo_tpu.rl import with_pass_to_win
+
+    policy = with_pass_to_win(
+        lambda k, states: gumbel_oneply(
+            k, states, params, net.apply, num_sampled=16, komi=args.komi
+        ).actions,
+        komi=args.komi,
+    )
+
     def pick(env):
         nonlocal key
         key, sub = jax.random.split(key)
         states = jnp.asarray(env.state(), jnp.int8)[None]
-        res = gumbel_oneply(sub, states, params, net.apply,
-                            num_sampled=16, komi=args.komi)
-        return int(res.actions[0])
+        return int(policy(sub, states)[0])
 
     return pick
 
