@@ -87,11 +87,18 @@ def with_pass_to_win(policy_fn, komi: float = 0.0):
     from 0.11 to 0.88 winrate vs uniform-random when wrapped (see
     BENCHMARKS.md).  A pass that does not end the game is never forced, so
     the wrapped policy cedes zero tempi; a pass that does end it is taken
-    exactly when it seals the win."""
+    exactly when it seals the win.
+
+    A replaced non-winning pass falls back to a uniform-random legal board
+    move.  For a POLICY-aware replacement, give the inner policy a huge
+    ``pass_min_stones`` (all search policies accept it) so its own ranking
+    picks the best board move and the wrapper only ever ADDS the winning
+    pass — this is what train.py's eval does."""
     from gymgo_tpu.core import actions as _actions_mod
 
     def wrapped(key, states):
         n = states.shape[-1]
+        key, fb_key = jax.random.split(key)
         acts = policy_fn(key, states)
         valid = _actions_mod.batch_valid_moves(states) > 0
         board_any = jnp.any(valid[:, :-1], axis=1)
@@ -108,7 +115,13 @@ def with_pass_to_win(policy_fn, komi: float = 0.0):
         # force the winning pass; otherwise never pass while a move exists
         acts = jnp.where(win_by_pass, pass_idx, acts)
         is_pass = acts == pass_idx
-        fallback = jnp.argmax(valid[:, :-1], axis=1).astype(jnp.int32)
+        # uniform-random legal board move — argmax of iid Gumbel over the
+        # valid set (see docstring for the policy-aware alternative via the
+        # inner policy's pass_min_stones)
+        g = jax.random.gumbel(fb_key, valid[:, :-1].shape)
+        fallback = jnp.argmax(
+            jnp.where(valid[:, :-1], g, -jnp.inf), axis=1
+        ).astype(jnp.int32)
         acts = jnp.where(
             is_pass & ~win_by_pass & board_any, fallback, acts
         )

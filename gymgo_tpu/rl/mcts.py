@@ -289,6 +289,15 @@ def run_mcts(
         warm_visit, warm_wsum = warm_root
         visit = visit.at[:, 0].set(warm_visit.astype(jnp.int32))
         wsum = wsum.at[:, 0].set(warm_wsum.astype(jnp.float32))
+    if warm_root is not None or warm_tree is not None:
+        # Carried root stats were accumulated when this node was interior
+        # and searched the FULL rules: they can hold visits on actions that
+        # are no longer legal at the new root (a point the opponent just
+        # filled, a new ko) or that the root constraint excludes (early
+        # pass, mask_early_pass).  Selection cannot revisit them (prior 0),
+        # but the final visit_policy samples raw root visits — mask them.
+        visit = visit.at[:, 0].set(jnp.where(valid_root, visit[:, 0], 0))
+        wsum = wsum.at[:, 0].set(jnp.where(valid_root, wsum[:, 0], 0.0))
 
     def simulate(sim, tree):
         node_states, node_done, prior, visit, wsum, child, parent = tree

@@ -106,13 +106,15 @@ def _terminal_q(children, b, k, mover_is_white, komi):
     return jnp.where(mover_is_white[:, None], -sign_black, sign_black)
 
 
-def make_search_policy(params, apply_fn, num_sampled=16, c_q=1.0, komi=0.0):
+def make_search_policy(params, apply_fn, num_sampled=16, c_q=1.0, komi=0.0,
+                       pass_min_stones: int = 0):
     """Adapter: a ``policy_fn(key, states) -> actions`` for batch_env.rollout."""
 
     def policy_fn(key, states):
         return gumbel_oneply(
             key, states, params, apply_fn,
             num_sampled=num_sampled, c_q=c_q, komi=komi,
+            pass_min_stones=pass_min_stones,
         ).actions
 
     return policy_fn

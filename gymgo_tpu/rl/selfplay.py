@@ -60,6 +60,22 @@ def per_game_value_targets(done, sign, final_states, mover_white, komi):
     return jnp.where(mover_white, -z_black, z_black)
 
 
+def _reset_done(st, config):
+    """Pre-reset finished envs at the top of a self-play scan body.
+
+    ``batch_step`` auto-resets done envs internally, but only AFTER the
+    action was chosen — so the action for a boundary step was selected on
+    the stone-rich TERMINAL board (where e.g. the early-pass constraint
+    allows pass) and then applied to the fresh empty board.  Resetting
+    before action selection makes boundary rows real opening moves: the
+    policy sees the board the action will actually land on, and no
+    mismatched obs/target rows are generated at all."""
+    if not config.auto_reset:
+        return st
+    done = _state.game_ended(st)
+    return jnp.where(done[:, None, None, None], jnp.zeros_like(st), st)
+
+
 def _outcome_sign(res, komi):
     """Terminal outcome sign from black's perspective, from the step's own
     fused Trump-Taylor areas (meaningful where ``res.done``)."""
@@ -110,6 +126,7 @@ def selfplay_rollout(
 
     def body(carry, _):
         st, k = carry
+        st = _reset_done(st, config)
         k, sub = jax.random.split(k)
         acts, masked_logits = policy_actions(
             sub, st, apply_fn, params, temperature, pass_min_stones
@@ -152,6 +169,7 @@ def selfplay_search_rollout(
 
     def body(carry, _):
         st, k = carry
+        st = _reset_done(st, config)
         k, sub = jax.random.split(k)
         res = gumbel_oneply(
             sub, st, params, apply_fn,
@@ -236,6 +254,7 @@ def selfplay_mcts_rollout(
 
     def body(carry, _):
         st, warm, k = carry
+        st = _reset_done(st, config)
         k, sub = jax.random.split(k)
         warm_kw = (
             {"warm_root": warm} if mode == "root"
@@ -310,6 +329,7 @@ def selfplay_gumbel_rollout(
 
     def body(carry, _):
         st, k = carry
+        st = _reset_done(st, config)
         k, sub = jax.random.split(k)
         res = run_gumbel_mcts(
             sub, st, params, apply_fn,

@@ -140,12 +140,15 @@ class GTPEngine:
         return action
 
     def _apply_pass_rule(self, action: int) -> int:
-        from gymgo_tpu import gogame
-
         pass_idx = self.n * self.n
         board_moves = self._legal_actions()[:-1]
         prev_passed = bool(self.state[govars.PASS_CHNL, 0, 0])
-        black_area, white_area = gogame.areas(self.state.astype(np.float64))
+        if self._native is not None:  # avoid a JAX dispatch per genmove
+            black_area, white_area = self._native.areas(self.state)
+        else:
+            from gymgo_tpu import gogame
+
+            black_area, white_area = gogame.areas(self.state.astype(np.float64))
         lead = float(black_area - white_area - self.komi)
         if self._turn() == 1:
             lead = -lead

@@ -165,9 +165,9 @@ def main():
         t, b = batch.value_target.shape
         flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
         flat_pi = batch.policy_target.reshape(t * b, -1)
-        flat_v = jnp.where(
-            batch.mask.reshape(t * b), batch.value_target.reshape(t * b), 0.0
-        )
+        # the stored per-row mask already gates both loss terms (az_loss);
+        # rows keep their raw targets so replay stays self-describing
+        flat_v = batch.value_target.reshape(t * b)
         return final, flat_obs, flat_pi, flat_v, batch.mask.reshape(t * b)
 
     @jax.jit
@@ -183,14 +183,20 @@ def main():
 
     @jax.jit
     def eval_match(key, params):
+        # With the pass-to-win wrapper, suppress pass INSIDE the search so
+        # its own ranking picks the best board move; the wrapper then only
+        # ever ADDS the game-sealing pass (policy-aware, zero tempi ceded).
+        no_pass = 0 if args.eval_raw_pass else 1 << 20
         if args.eval_sims > 0:
             policy = make_gumbel_mcts_policy(
                 params, net.apply, num_simulations=args.eval_sims,
                 max_considered=args.gumbel_m, komi=args.komi,
+                pass_min_stones=no_pass,
             )
         else:
             policy = make_search_policy(params, net.apply, num_sampled=8,
-                                        komi=args.komi)
+                                        komi=args.komi,
+                                        pass_min_stones=no_pass)
         if not args.eval_raw_pass:
             policy = with_pass_to_win(policy, komi=args.komi)
         return play_match(
