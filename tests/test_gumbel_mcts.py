@@ -116,3 +116,48 @@ def test_gumbel_mcts_policy_in_rollout():
     )
     assert r.actions.shape == (6, 4)
     assert r.final_states.shape == (4, 6, 5, 5)
+
+
+def test_improvement_operator_sign_oracle():
+    """A pass that would END the game as a certain WIN must receive maximal
+    improved-policy mass; the mirrored losing pass must get ~zero.  This
+    pins the sign conventions of the whole search/backup pipeline (a flip
+    anywhere would anti-train the policy — the bug class this guards)."""
+    n = 5
+
+    def uniform_net(params, canonical):
+        b = canonical.shape[0]
+        return jnp.zeros((b, n * n + 1)), jnp.zeros((b,))
+
+    def board(black_ahead: bool):
+        s = np.zeros((1, 6, n, n), np.int8)
+        s[0, 0 if black_ahead else 1, :3, :] = 1  # 15 stones for the leader
+        s[0, 1 if black_ahead else 0, 4, 0] = 1
+        s[0, 4] = 1  # previous move was a pass; black to move
+        return jnp.asarray(s)
+
+    res_win = run_gumbel_mcts(
+        jax.random.PRNGKey(0), board(True), None, uniform_net,
+        num_simulations=64, max_considered=n * n + 1,
+    )
+    res_lose = run_gumbel_mcts(
+        jax.random.PRNGKey(0), board(False), None, uniform_net,
+        num_simulations=64, max_considered=n * n + 1,
+    )
+    pass_idx = n * n
+    assert int(res_win.actions[0]) == pass_idx
+    assert float(res_win.improved_policy[0, pass_idx]) > 0.95
+    assert float(res_lose.improved_policy[0, pass_idx]) < 0.01
+    assert int(res_lose.actions[0]) != pass_idx
+
+    # one-ply operator: exact terminal q for the ending pass
+    from gymgo_tpu.rl.search import gumbel_oneply
+
+    r = gumbel_oneply(jax.random.PRNGKey(0), board(True), None, uniform_net,
+                      num_sampled=n * n + 1)
+    slot = int(np.where(np.asarray(r.sampled_actions[0]) == pass_idx)[0][0])
+    assert float(r.q_values[0, slot]) == 1.0
+    r2 = gumbel_oneply(jax.random.PRNGKey(0), board(False), None, uniform_net,
+                       num_sampled=n * n + 1)
+    slot2 = int(np.where(np.asarray(r2.sampled_actions[0]) == pass_idx)[0][0])
+    assert float(r2.q_values[0, slot2]) == -1.0
