@@ -1,4 +1,12 @@
-from gymgo_tpu.rl.selfplay import selfplay_rollout, SelfPlayBatch, policy_actions
+from gymgo_tpu.rl.selfplay import (
+    SelfPlayBatch,
+    per_game_value_targets,
+    policy_actions,
+    selfplay_gumbel_rollout,
+    selfplay_mcts_rollout,
+    selfplay_rollout,
+    selfplay_search_rollout,
+)
 from gymgo_tpu.rl.learner import TrainState, make_train_state, train_step, az_loss
 from gymgo_tpu.rl.replay import ReplayBuffer
 from gymgo_tpu.rl.search import gumbel_oneply, make_search_policy, SearchResult
