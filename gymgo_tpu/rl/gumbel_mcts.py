@@ -35,6 +35,7 @@ from gymgo_tpu.core import score as _score
 from gymgo_tpu.core import state as _state
 from gymgo_tpu.core import step as _step
 from gymgo_tpu.core import transform as _transform
+from gymgo_tpu.rl import treewalk as _treewalk
 
 
 class GumbelMCTSResult(NamedTuple):
@@ -142,20 +143,24 @@ def run_gumbel_mcts(
         q = jnp.where(cn > 0, cw / jnp.maximum(cn, 1), 0.0)
         return cn, q
 
-    def interior_scores(node, p_prior, p_visit, p_wsum, p_value):
-        """Deterministic non-root selection: argmax pi'(a) - N(a)/(1+sumN).
+    def interior_scores(p_prior, p_visit, p_wsum, p_value):
+        """Deterministic non-root selection: argmax pi'(a) - N(a)/(1+sumN),
+        computed elementwise for ALL (B, M) nodes at once (gather-free —
+        tree stats are frozen during one selection walk, see rl/treewalk).
 
         completedQ(a) = q(a) when visited else the node's own net value
         (both from the node mover's perspective)."""
-        nv = p_visit[node]
-        nw = p_wsum[node]
-        total = jnp.sum(nv)
-        q = jnp.where(nv > 0, nw / jnp.maximum(nv, 1), p_value[node])
-        logits_pi = jnp.log(jnp.maximum(p_prior[node], 1e-30))
-        improved = jax.nn.softmax(
-            logits_pi + _sigma(q, jnp.max(nv), c_visit, c_scale)
+        total = jnp.sum(p_visit, axis=-1, keepdims=True)
+        q = jnp.where(
+            p_visit > 0, p_wsum / jnp.maximum(p_visit, 1), p_value[..., None]
         )
-        return improved - nv.astype(jnp.float32) / (1.0 + total)
+        logits_pi = jnp.log(jnp.maximum(p_prior, 1e-30))
+        max_n = jnp.max(p_visit, axis=-1, keepdims=True)
+        improved = jax.nn.softmax(
+            logits_pi + _sigma(q, max_n, c_visit, c_scale), axis=-1
+        )
+        scores = improved - p_visit.astype(jnp.float32) / (1.0 + total)
+        return jnp.where(p_prior > 0, scores, -jnp.inf)
 
     def simulate(sim, tree):
         node_states, node_done, node_value, prior, visit, wsum, child = tree
@@ -182,43 +187,14 @@ def run_gumbel_mcts(
 
         # ---- selection walk: depth 0 edge forced to root_action, interior
         # edges by the deterministic rule; stop at an unexpanded edge or a
-        # terminal child.
-        def select_one(forced, p_prior, p_visit, p_wsum, p_value, p_child, p_done):
-            def cond(c):
-                node, depth, path_n, path_a, open_ = c
-                return open_ & (depth < max_depth)
-
-            def body(c):
-                node, depth, path_n, path_a, _ = c
-                act = jnp.where(
-                    depth == 0,
-                    forced,
-                    jnp.argmax(
-                        jnp.where(
-                            p_prior[node] > 0,
-                            interior_scores(node, p_prior, p_visit, p_wsum, p_value),
-                            -jnp.inf,
-                        )
-                    ).astype(jnp.int32),
-                )
-                path_n = path_n.at[depth].set(node)
-                path_a = path_a.at[depth].set(act)
-                nxt = p_child[node, act]
-                keep = (nxt >= 0) & ~p_done[jnp.maximum(nxt, 0)]
-                return jnp.where(nxt >= 0, nxt, node), depth + 1, path_n, path_a, keep
-
-            init = (
-                jnp.int32(0),
-                jnp.int32(0),
-                jnp.full((max_depth,), -1, jnp.int32),
-                jnp.full((max_depth,), -1, jnp.int32),
-                jnp.array(True),
-            )
-            _, depth, path_n, path_a, _ = lax.while_loop(cond, body, init)
-            return depth, path_n, path_a
-
-        sel_depth, path_n, path_a = jax.vmap(select_one)(
-            root_action, prior, visit, wsum, node_value, child, node_done
+        # terminal child.  The per-node argmax/next/continue tables are
+        # precomputed gather-free (stats frozen during one walk), and the
+        # descent itself only touches (B, M) tables — see rl/treewalk.
+        scores = interior_scores(prior, visit, wsum, node_value)
+        tables = _treewalk.node_tables(scores, child, node_done)
+        f_nxt, f_keep = _treewalk.forced_root_edge(root_action, child, node_done)
+        sel_depth, path_n, path_a = _treewalk.walk_paths(
+            *tables, max_depth, forced_root=(root_action, f_nxt, f_keep)
         )
         last = jnp.maximum(sel_depth - 1, 0)
         exp_parent = jnp.take_along_axis(path_n, last[:, None], axis=1)[:, 0]

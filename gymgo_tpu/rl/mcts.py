@@ -29,6 +29,7 @@ from gymgo_tpu.core import score as _score
 from gymgo_tpu.core import state as _state
 from gymgo_tpu.core import step as _step
 from gymgo_tpu.core import transform as _transform
+from gymgo_tpu.rl import treewalk as _treewalk
 
 
 class MCTSResult(NamedTuple):
@@ -302,42 +303,16 @@ def run_mcts(
     def simulate(sim, tree):
         node_states, node_done, prior, visit, wsum, child, parent = tree
 
-        # ---- selection (per env): walk PUCT argmax edges until an
-        # unexpanded child or a terminal node; record the path.
-        def select_one(p_node, p_prior, p_visit, p_wsum, p_child, p_done):
-            def cond(c):
-                node, depth, path_n, path_a, leaf_edge_open = c
-                return leaf_edge_open & (depth < max_depth)
-
-            def body(c):
-                node, depth, path_n, path_a, _ = c
-                scores = _puct_scores(
-                    p_prior[node], p_visit[node], p_wsum[node], c_puct
-                )
-                scores = jnp.where(p_prior[node] > 0, scores, -jnp.inf)
-                act = jnp.argmax(scores).astype(jnp.int32)
-                path_n = path_n.at[depth].set(node)
-                path_a = path_a.at[depth].set(act)
-                nxt = p_child[node, act]
-                keep_going = (nxt >= 0) & ~p_done[jnp.maximum(nxt, 0)]
-                node2 = jnp.where(nxt >= 0, nxt, node)
-                return (
-                    node2,
-                    depth + 1,
-                    path_n,
-                    path_a,
-                    keep_going,
-                )
-
-            init = (
-                jnp.int32(0),
-                jnp.int32(0),
-                jnp.full((max_depth,), -1, jnp.int32),
-                jnp.full((max_depth,), -1, jnp.int32),
-                jnp.array(True),
-            )
-            node, depth, path_n, path_a, _ = lax.while_loop(cond, body, init)
-            return node, depth, path_n, path_a
+        # ---- selection: tree stats are frozen during one walk, so the
+        # per-node PUCT argmax / child pointer / continue flag are
+        # precomputed for ALL nodes with elementwise passes (no gathers),
+        # then the descent chases pointers through (B, M) tables
+        # (treewalk.walk_paths — see that module for the cost argument).
+        def select_paths(eff_visit, eff_wsum):
+            scores = _puct_scores(prior, eff_visit, eff_wsum, c_puct)
+            scores = jnp.where(prior > 0, scores, -jnp.inf)
+            tables = _treewalk.node_tables(scores, child, node_done)
+            return _treewalk.walk_paths(*tables, max_depth)
 
         # ---- backup along the path; value sign alternates per ply upward.
         # leaf_value is from the leaf mover's perspective; the edge into the
@@ -372,23 +347,14 @@ def run_mcts(
             return p_vn.at[nodes, acts].add(on_path.astype(jnp.int32))
 
         # ---- K selections (batched virtual loss between them).
-        root0 = jnp.zeros((b,), jnp.int32)
         if k_par == 1:
-            _, sel_depth, path_n, path_a = jax.vmap(select_one)(
-                root0, prior, visit, wsum, child, node_done
-            )
-            paths = [(sel_depth, path_n, path_a)]
+            paths = [select_paths(visit, wsum)]
         else:
             vn = jnp.zeros((b, m, a_size), jnp.int32)
             paths = []
             for k in range(k_par):
-                _, sel_depth, path_n, path_a = jax.vmap(select_one)(
-                    root0,
-                    prior,
-                    visit + vn,
-                    wsum - vn.astype(jnp.float32),
-                    child,
-                    node_done,
+                sel_depth, path_n, path_a = select_paths(
+                    visit + vn, wsum - vn.astype(jnp.float32)
                 )
                 paths.append((sel_depth, path_n, path_a))
                 if k < k_par - 1:
