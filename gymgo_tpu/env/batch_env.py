@@ -85,6 +85,31 @@ class Rollout(NamedTuple):
     obs: Optional[jax.Array] = None  # int8 (T, B, 6, N, N) when collected
 
 
+def shard_over_envs(fn: Callable, mesh) -> Callable:
+    """Run ``fn`` (pure, per-env semantics, every arg/result batched on the
+    leading env dim) as one program per mesh shard via ``jax.shard_map``.
+
+    This is how the sharded paths stay literally collective-free: the flood
+    fixpoint loops' "any bit changed" convergence conditions are batch-wide
+    reduces, which the SPMD partitioner must otherwise replicate with ONE
+    scalar all-reduce per executed substep (~40/step at 19x19 — pure ICI/DCN
+    latency on a pod).  Under shard_map each shard keeps a local condition:
+    zero collectives (asserted by tests/test_zero_collective.py), and the
+    per-shard batch-max trip count is <= the global batch-max for free.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    env_axis = mesh.axis_names[0]
+    spec = P(env_axis)
+    # check_vma off: the flood loops seed their "changed" carry with a
+    # replicated True that immediately becomes shard-varying — semantically
+    # fine (everything here is per-env), but the varying-axis type checker
+    # would demand pcast noise inside mesh-agnostic core code.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
+    )
+
+
 def rollout(
     key: jax.Array,
     states: jax.Array,
@@ -92,6 +117,7 @@ def rollout(
     config: EnvConfig,
     policy_fn: Optional[Callable] = None,
     collect_obs: bool = False,
+    mesh=None,
 ) -> Rollout:
     """Roll ``num_steps`` lockstep moves with ``lax.scan``.
 
@@ -103,7 +129,20 @@ def rollout(
     of the packed tensor); the packed layout is materialized only for
     custom ``policy_fn``s and collected observations, keeping the default
     (uniform-random) path maximally lean.
+
+    With ``mesh`` set, the per-env transition work runs under
+    ``shard_over_envs`` so the compiled scan contains no collectives; RNG
+    draws stay OUTSIDE the shard_map region (a (B,) draw from one key is
+    positionally global — running it per shard would duplicate streams and
+    break the sharding-invariance contract of tests/test_sharding.py).
     """
+    step_planes = _step.step_planes
+    seed_carry = lambda ps: ps._replace(
+        atari=_step.init_atari(ps), ko_surr=_step.init_ko_surr(ps)
+    )
+    if mesh is not None:
+        step_planes = shard_over_envs(_step.step_planes, mesh)
+        seed_carry = shard_over_envs(seed_carry, mesh)
 
     def body(carry, _):
         ps, k = carry
@@ -124,7 +163,7 @@ def rollout(
                 acts = _actions.uniform_random_actions_planes(sub, ps)
         else:
             acts = policy_fn(sub, _step.states_from_planes(ps))
-        ps, info = _step.step_planes(ps, acts)
+        ps, info = step_planes(ps, acts)
         done = ps.done
         reward = reward_from_areas(info.black_area, info.white_area, done, config)
         out = (acts, reward, done) + (
@@ -136,9 +175,7 @@ def rollout(
     # Seed the carried-capture encoding once; each step then refreshes it as
     # a free byproduct of its classification flood, eliminating the per-step
     # capture flood entirely inside the scan.
-    ps0 = ps0._replace(
-        atari=_step.init_atari(ps0), ko_surr=_step.init_ko_surr(ps0)
-    )
+    ps0 = seed_carry(ps0)
     (final_ps, _), outs = lax.scan(body, (ps0, key), None, length=num_steps)
     actions, rewards, dones = outs[:3]
     obs = outs[3] if collect_obs else None

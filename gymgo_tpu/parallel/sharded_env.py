@@ -38,7 +38,12 @@ class ShardedGoEnv:
                 f"batch_size {config.batch_size} not divisible by env axis {env_axis}"
             )
         self._state_sharding = _mesh.env_sharding(self.mesh, 4)
-        step = functools.partial(_batch_env.batch_step, config=config)
+        # batch_step has no RNG, so the WHOLE transition runs one program
+        # per shard: local flood convergence, zero collectives (see
+        # batch_env.shard_over_envs / tests/test_zero_collective.py).
+        step = _batch_env.shard_over_envs(
+            functools.partial(_batch_env.batch_step, config=config), self.mesh
+        )
         self._step = jax.jit(
             step,
             in_shardings=(self._state_sharding, _mesh.env_sharding(self.mesh, 1)),
@@ -46,7 +51,7 @@ class ShardedGoEnv:
             donate_argnums=(0,),
         )
         self._rollout = jax.jit(
-            functools.partial(_batch_env.rollout, config=config),
+            functools.partial(_batch_env.rollout, config=config, mesh=self.mesh),
             static_argnames=("num_steps", "policy_fn", "collect_obs"),
         )
 
