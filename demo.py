@@ -44,9 +44,14 @@ def make_net_ai():
 
     from gymgo_tpu.rl import with_pass_to_win
 
+    # pass_min_stones pushes the inner search off non-winning passes, so
+    # when the wrapper vetoes a pass the replacement is the search's own
+    # best board move rather than a uniform-random fallback (the pattern
+    # with_pass_to_win's docstring recommends; train.py's eval does this).
     policy = with_pass_to_win(
         lambda k, states: gumbel_oneply(
-            k, states, params, net.apply, num_sampled=16, komi=args.komi
+            k, states, params, net.apply, num_sampled=16, komi=args.komi,
+            pass_min_stones=1 << 20,
         ).actions,
         komi=args.komi,
     )

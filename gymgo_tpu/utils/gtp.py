@@ -58,7 +58,7 @@ class GTPEngine:
 
     def __init__(self, board_size: int = 19, komi: float = 7.5,
                  genmove_fn: Optional[Callable] = None, seed: int = 0,
-                 match_pass_rule: bool = True):
+                 match_pass_rule: bool = False):
         self.komi = komi
         self._genmove_fn = genmove_fn
         self._rng = np.random.default_rng(seed)
@@ -66,6 +66,10 @@ class GTPEngine:
         # pass ONLY when it immediately ends the game as a win, or when no
         # board move is legal.  Self-play-trained nets otherwise "pass when
         # ahead", ceding a free move per pass to opponents who keep playing.
+        # Off by default so embedders' genmove_fn decisions are never
+        # silently overridden (the replacement move comes from this engine's
+        # rng, not the caller's policy); the CLI and the match drivers turn
+        # it on explicitly (--raw-pass disables it there).
         self._match_pass_rule = match_pass_rule
         self._set_boardsize(board_size)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 
 from gymgo_tpu import govars
+from gymgo_tpu.utils import gui_math
 
 
 def run_game_window(env):
@@ -27,8 +28,8 @@ def run_game_window(env):
     size = env.size
 
     screen = pyglet.canvas.get_display().get_default_screen()
-    window_width = int(min(screen.width, screen.height) * 2 / 3)
-    window_height = int(window_width * 1.2)
+    layout = gui_math.board_layout(screen.width, screen.height, size)
+    window_width, window_height = layout.window_width, layout.window_height
     window = pyglet.window.Window(window_width, window_height)
     env.window = window
     env.pyglet = pyglet
@@ -37,11 +38,10 @@ def run_game_window(env):
     cursor = window.get_system_mouse_cursor(window.CURSOR_CROSSHAIR)
     window.set_mouse_cursor(cursor)
 
-    lower_grid_coord = window_width * 0.075
-    board_size = window_width * 0.85
-    upper_grid_coord = board_size + lower_grid_coord
-    delta = board_size / (size - 1)
-    piece_r = delta / 3.3
+    lower_grid_coord = layout.lower_grid_coord
+    upper_grid_coord = layout.upper_grid_coord
+    delta = layout.delta
+    piece_r = layout.piece_r
 
     def draw_circle(x, y, color, radius, batch, shapes):
         shapes.append(
@@ -104,8 +104,7 @@ def run_game_window(env):
         s = env.state_
         for i in range(size):
             for j in range(size):
-                x = lower_grid_coord + i * delta
-                y = lower_grid_coord + j * delta
+                x, y = gui_math.stone_screen_pos(i, j, lower_grid_coord, delta)
                 if s[govars.BLACK, i, j] == 1:
                     draw_circle(x, y, [0.0588, 0.1804, 0.2471], piece_r, batch, keep)
                 elif s[govars.WHITE, i, j] == 1:
@@ -115,12 +114,11 @@ def run_game_window(env):
     @window.event
     def on_mouse_press(x, y, button, modifiers):
         if button == mouse.LEFT:
-            x_coord = round((x - lower_grid_coord) / delta)
-            y_coord = round((y - lower_grid_coord) / delta)
+            action = gui_math.mouse_to_intersection(x, y, lower_grid_coord, delta)
             try:
                 window.close()
                 pyglet.app.exit()
-                env.user_action = (x_coord, y_coord)
+                env.user_action = action
             except Exception:
                 pass
 

@@ -1,0 +1,151 @@
+"""Round-robin Elo ladder over checkpoint engines, through the GTP stack.
+
+Plays every pairing of the given players (colors alternating) with
+scripts/gtp_match.play_game, then fits Bradley-Terry strengths by the
+standard minorization-maximization iteration and reports them on the Elo
+scale anchored at the first player (use `random` first for an absolute
+anchor).  Ties and truncated games count as half a win each; a half
+virtual draw against every opponent regularizes perfect scores to finite
+ratings.
+
+Usage:
+  python scripts/elo_ladder.py --boardsize 7 --games 8 \
+      --player random --player iter120=net:ck/iter120.npz:32 \
+      --player iter240=net:ck/iter240.npz:32
+
+Output: a markdown ladder table + the pairwise win matrix (paste into
+BENCHMARKS.md).  The reference ships no tooling like this (its only match
+loop is demo.py's human-vs-random, /root/reference/demo.py:14-24); this is
+the framework's checkpoint-strength yardstick.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import gtp_match  # noqa: E402
+
+
+def fit_elo(names, wins, games, anchor=0.0):
+    """Bradley-Terry MM fit.  ``wins[i][j]`` = i's win count vs j (ties
+    pre-split as 0.5 each side); ``games[i][j]`` = games between i and j.
+    Returns Elo ratings with player 0 pinned to ``anchor``."""
+    k = len(names)
+    # half a virtual draw vs every opponent: keeps 100% scores finite.
+    w = [[wins[i][j] + (0.25 if i != j else 0.0) for j in range(k)] for i in range(k)]
+    n = [[games[i][j] + (0.5 if i != j else 0.0) for j in range(k)] for i in range(k)]
+    p = [1.0] * k
+    for _ in range(2000):
+        newp = []
+        for i in range(k):
+            wi = sum(w[i][j] for j in range(k) if j != i)
+            denom = sum(
+                n[i][j] / (p[i] + p[j]) for j in range(k) if j != i and n[i][j] > 0
+            )
+            newp.append(wi / denom if denom > 0 else p[i])
+        scale = sum(newp) / k
+        newp = [x / scale for x in newp]
+        delta = max(abs(a - b) for a, b in zip(newp, p))
+        p = newp
+        if delta < 1e-12:
+            break
+    elo = [400.0 / math.log(10.0) * math.log(x) for x in p]
+    shift = anchor - elo[0]
+    return [e + shift for e in elo]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--boardsize", type=int, default=7)
+    ap.add_argument("--komi", type=float, default=0.0)
+    ap.add_argument("--games", type=int, default=8,
+                    help="games per ordered pairing direction (total per pair"
+                         " = 2x with colors alternating inside)")
+    ap.add_argument("--player", action="append", required=True,
+                    help="NAME=SPEC or bare SPEC (spec syntax of gtp_match)")
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    names, specs = [], []
+    for i, entry in enumerate(args.player):
+        if "=" in entry and not entry.split("=")[0].startswith("net:"):
+            name, spec = entry.split("=", 1)
+        else:
+            name, spec = entry, entry
+        names.append(name)
+        specs.append(spec)
+    k = len(names)
+    if k < 2:
+        raise SystemExit("need at least two --player entries")
+
+    engines = [
+        gtp_match.build_engine(spec, args.boardsize, args.komi,
+                               args.seed + i, args.channels, args.blocks)
+        for i, spec in enumerate(specs)
+    ]
+    max_moves = 3 * args.boardsize * args.boardsize
+
+    wins = [[0.0] * k for _ in range(k)]
+    games = [[0] * k for _ in range(k)]
+    truncated = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            for g in range(args.games):
+                i_is_black = g % 2 == 0
+                black, white = (engines[i], engines[j]) if i_is_black else (
+                    engines[j], engines[i])
+                r, finished = gtp_match.play_game(
+                    black, white, args.boardsize, max_moves)
+                if not finished:
+                    truncated += 1
+                    r = 0.0  # score a truncation as a tie, not by mid-game area
+                i_signed = r if i_is_black else -r
+                games[i][j] += 1
+                games[j][i] += 1
+                if i_signed > 0:
+                    wins[i][j] += 1.0
+                elif i_signed < 0:
+                    wins[j][i] += 1.0
+                else:
+                    wins[i][j] += 0.5
+                    wins[j][i] += 0.5
+                print(f"{names[i]} vs {names[j]} game {g}: "
+                      f"{'+' if i_signed > 0 else '-' if i_signed < 0 else '='}"
+                      f"{' (truncated)' if not finished else ''}", flush=True)
+
+    elo = fit_elo(names, wins, games)
+    order = sorted(range(k), key=lambda i: -elo[i])
+    print("\n| player | games | score | Elo |")
+    print("|---|---|---|---|")
+    for i in order:
+        tot = sum(games[i][j] for j in range(k))
+        sc = sum(wins[i][j] for j in range(k))
+        print(f"| {names[i]} | {tot} | {sc:.1f} | {elo[i]:+.0f} |")
+    print("\npairwise wins (row beats column):")
+    header = " | ".join(f"{nm:>10}" for nm in names)
+    print(f"{'':>10} | {header}")
+    for i in range(k):
+        row = " | ".join(
+            f"{wins[i][j]:>10.1f}" if j != i else f"{'-':>10}" for j in range(k)
+        )
+        print(f"{names[i]:>10} | {row}")
+    if truncated:
+        print(f"\ntruncated games (scored as ties): {truncated}")
+
+
+if __name__ == "__main__":
+    main()

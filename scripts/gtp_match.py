@@ -31,14 +31,14 @@ def build_engine(spec: str, boardsize: int, komi: float, seed: int,
     from gymgo_tpu.utils.gtp import GTPEngine, make_net_genmove
 
     if spec == "random":
-        return GTPEngine(boardsize, komi, None, seed)
+        return GTPEngine(boardsize, komi, None, seed, match_pass_rule=True)
     if spec.startswith("net:"):
         parts = spec.split(":")
         ckpt = parts[1]
         sims = int(parts[2]) if len(parts) > 2 else 0
         fn = make_net_genmove(ckpt, boardsize, channels, blocks,
                               simulations=sims, komi=komi, seed=seed)
-        return GTPEngine(boardsize, komi, fn, seed)
+        return GTPEngine(boardsize, komi, fn, seed, match_pass_rule=True)
     raise SystemExit(f"unknown engine spec: {spec}")
 
 
@@ -47,26 +47,32 @@ def ok(resp: str) -> str:
     return resp[1:].strip()
 
 
-def play_game(black, white, boardsize: int, max_moves: int) -> float:
-    """Returns the signed result for BLACK (+1 win, -1 loss, 0 tie)."""
+def play_game(black, white, boardsize: int, max_moves: int) -> tuple:
+    """Returns ``(result, finished)``: the signed result for BLACK
+    (+1 win, -1 loss, 0 tie) and whether the game actually reached a
+    double-pass end.  Truncated games (max_moves without a DONE plane) are
+    reported so callers can bucket them separately instead of silently
+    scoring a mid-game area count as a decisive result."""
     for eng in (black, white):
         ok(eng.handle("clear_board")[0])
     engines = {"b": black, "w": white}
     color = "b"
+    finished = False
     for _ in range(max_moves):
         mover = engines[color]
         vertex = ok(mover.handle(f"genmove {color}")[0])
         other = engines["w" if color == "b" else "b"]
         ok(other.handle(f"play {color} {vertex}")[0])
         if mover.state[5, 0, 0]:  # DONE plane
+            finished = True
             break
         color = "w" if color == "b" else "b"
     score = ok(black.handle("final_score")[0])  # e.g. "B+3.0", "W+1.5", "0"
     if score.startswith("B+"):
-        return 1.0
+        return 1.0, finished
     if score.startswith("W+"):
-        return -1.0
-    return 0.0
+        return -1.0, finished
+    return 0.0, finished
 
 
 def main():
@@ -93,11 +99,18 @@ def main():
                          args.channels, args.blocks)
     max_moves = 3 * args.boardsize * args.boardsize
 
-    a_wins = b_wins = ties = 0
+    a_wins = b_wins = ties = unfinished = 0
     for g in range(args.games):
         a_is_black = g % 2 == 0
         black, white = (eng_a, eng_b) if a_is_black else (eng_b, eng_a)
-        r = play_game(black, white, args.boardsize, max_moves)
+        r, finished = play_game(black, white, args.boardsize, max_moves)
+        if not finished:
+            # hit max_moves without a double pass: the mid-game area count
+            # is not a result — bucket separately instead of inflating wins
+            unfinished += 1
+            print(f"game {g}: A as {'B' if a_is_black else 'W'} -> unfinished",
+                  flush=True)
+            continue
         a_signed = r if a_is_black else -r
         if a_signed > 0:
             a_wins += 1
@@ -109,7 +122,8 @@ def main():
               f"{'A' if a_signed > 0 else 'B' if a_signed < 0 else 'tie'}",
               flush=True)
     total = max(a_wins + b_wins + ties, 1)
-    print(f"A: {a_wins}W {b_wins}L {ties}T  winrate={a_wins / total:.3f}")
+    print(f"A: {a_wins}W {b_wins}L {ties}T  winrate={a_wins / total:.3f}"
+          + (f"  ({unfinished} unfinished, excluded)" if unfinished else ""))
 
 
 if __name__ == "__main__":

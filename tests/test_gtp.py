@@ -102,8 +102,9 @@ def test_genmove_legality_stream():
 
 def test_genmove_match_pass_rule():
     """genmove passes exactly when passing seals a win; never passes while
-    board moves exist otherwise (match_pass_rule default)."""
-    eng = GTPEngine(5, komi=0.0, seed=1)
+    board moves exist otherwise (match_pass_rule on; off is the class
+    default so embedders' genmove_fn is never silently overridden)."""
+    eng = GTPEngine(5, komi=0.0, seed=1, match_pass_rule=True)
     # black clearly ahead; white just passed -> black's pass ends a won game
     s = np.zeros((6, 5, 5), np.int8)
     s[0, :3, :] = 1
@@ -113,7 +114,7 @@ def test_genmove_match_pass_rule():
     assert not err and resp.strip().split()[-1] == "pass"
 
     # fresh board: the random fallback must never answer pass early
-    eng2 = GTPEngine(5, komi=0.0, seed=1)
+    eng2 = GTPEngine(5, komi=0.0, seed=1, match_pass_rule=True)
     for ply in range(6):
         resp, err, _ = eng2.handle(f"genmove {'b' if ply % 2 == 0 else 'w'}")
         assert not err
