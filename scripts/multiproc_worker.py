@@ -36,6 +36,19 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
+    # Segmented checkpoint/restart mode (fault-injection harness,
+    # SURVEY §5.3): the run is split into --num-segments rollouts of
+    # steps/num_segments, each seeded fold_in(seed_key, segment) so a
+    # restart can resume mid-run bit-exactly.  After each completed
+    # segment the (replicated) global states are checkpointed.
+    ap.add_argument("--num-segments", type=int, default=1)
+    ap.add_argument("--start-segment", type=int, default=0)
+    ap.add_argument("--ckpt", default=None,
+                    help="npz checkpoint path (written after each segment "
+                         "by process 0; read at --start-segment > 0)")
+    ap.add_argument("--crash-after-segment", type=int, default=-1,
+                    help="simulate a host failure: this process os._exit(1)s "
+                         "right after the given segment's checkpoint lands")
     args = ap.parse_args()
 
     # Must be set before jax import; replaces (not appends) any inherited
@@ -62,12 +75,52 @@ def main() -> None:
     assert jax.process_count() == args.num_processes
     assert len(jax.devices()) == args.num_processes * args.local_devices
 
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
     cfg = EnvConfig(
         board_size=args.board, batch_size=args.batch, auto_reset=True
     )
-    env = ShardedGoEnv(cfg, make_mesh())
-    states = env.reset()
-    r = env.rollout(jax.random.PRNGKey(args.seed), states, args.steps)
+    mesh = make_mesh()
+    env = ShardedGoEnv(cfg, mesh)
+
+    if args.num_segments == 1:
+        states = env.reset()
+        r = env.rollout(jax.random.PRNGKey(args.seed), states, args.steps)
+    else:
+        # Segmented mode: resume support + optional simulated host failure.
+        from gymgo_tpu.parallel import shard_states
+        from gymgo_tpu.utils import checkpoint as ckpt
+
+        assert args.steps % args.num_segments == 0
+        seg_steps = args.steps // args.num_segments
+        replicate = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec())
+        )
+        if args.start_segment == 0:
+            states = env.reset()
+        else:
+            tpl = {"states": np.zeros((args.batch, 6, args.board, args.board),
+                                      np.int8)}
+            states = shard_states(
+                jnp.asarray(ckpt.restore_npz(args.ckpt, tpl)["states"]), mesh
+            )
+        seed_key = jax.random.PRNGKey(args.seed)
+        for seg in range(args.start_segment, args.num_segments):
+            r = env.rollout(jax.random.fold_in(seed_key, seg), states, seg_steps)
+            states = r.final_states
+            if args.ckpt:
+                # replicated fetch is an all-gather: EVERY process must
+                # participate; only process 0 writes the file.
+                full = np.asarray(replicate(states))
+                if jax.process_index() == 0:
+                    ckpt.save_npz(args.ckpt, {"states": full})
+            if seg == args.crash_after_segment:
+                # simulated host failure: die WITHOUT distributed shutdown
+                # (the launcher must detect the nonzero exit and restart
+                # the job from the checkpoint)
+                sys.stdout.flush()
+                os._exit(1)
 
     # Checksums must be computed under jit: the outputs are global arrays
     # of which this process only addresses its local shards; the jitted

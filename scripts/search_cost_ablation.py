@@ -3,10 +3,16 @@
 One Gumbel/PUCT simulation at (B, 19x19) pays for: the selection table
 build + walk, ONE exact env step (step_states), one net eval on the new
 leaves (masked_policy = canonical form + valid moves + apply), the node
-writes, and the backup scatter.  This times each piece standalone with the
-tunnel-safe checksum fetch, so optimization effort goes where the
-milliseconds are (round-1 lesson: the bench only showed the aggregate and
-we blamed the wrong component).
+writes, and the backup scatter.  This times each piece, so optimization
+effort goes where the milliseconds are.
+
+Methodology: a single jitted call through the tunnel costs ~23 ms of
+dispatch latency (measured: every standalone component "cost" the same),
+so each component runs ``--sims`` iterations inside ONE ``lax.fori_loop``
+with loop-carried data dependence (inputs perturbed per iteration by the
+carried accumulator — XLA hoists loop-invariant bodies; BENCHMARKS.md
+"never benchmark over constant inputs").  Reported per-iteration time has
+the empty-loop call overhead subtracted.
 
 Usage: timeout 580 python scripts/search_cost_ablation.py [--batch 256]
        [--board 19 --sims 32 --channels 8 --blocks 1] [--cpu]
@@ -22,18 +28,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(fn, *args, repeats=5):
-    out = fn(*args)
-    float(out[1] if isinstance(out, tuple) else out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(out[1] if isinstance(out, tuple) else out)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--board", type=int, default=19)
@@ -46,13 +40,13 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from gymgo_tpu.config import EnvConfig
     from gymgo_tpu.core import actions as _actions
-    from gymgo_tpu.core import state as _state
     from gymgo_tpu.core import step as _step
     from gymgo_tpu.core import transform as _transform
     from gymgo_tpu.core.state import batch_init_state
@@ -60,7 +54,8 @@ def main():
     from gymgo_tpu.models import AZNet, AZNetConfig, init_params
     from gymgo_tpu.rl import treewalk as _treewalk
 
-    n, b, m = args.board, args.batch, args.sims + 1
+    n, b, sims = args.board, args.batch, args.sims
+    m = sims + 1
     a = n * n + 1
     netcfg = AZNetConfig(board_size=n, channels=args.channels,
                          blocks=args.blocks)
@@ -79,35 +74,66 @@ def main():
         states, c = warm(jax.random.fold_in(key, i), states)
     float(c)
     print(f"backend={jax.default_backend()} B={b} board={n} "
-          f"net={args.channels}ch x{args.blocks}", flush=True)
+          f"net={args.channels}ch x{args.blocks} sims/loop={sims}", flush=True)
 
-    acts = jax.jit(_actions.uniform_random_actions)(key, states)
+    def timed(fn, *fn_args, repeats=5):
+        out = fn(*fn_args)
+        float(out if not isinstance(out, tuple) else out[-1])
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*fn_args)
+            float(out if not isinstance(out, tuple) else out[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # 1. one exact env step
+    # call-overhead floor: empty fori_loop, one scalar out
     @jax.jit
-    def env_step(s, acts):
-        ns, info = _step.step_states(s, acts)
-        return ns, jnp.sum(info.black_area)
+    def null_loop(x):
+        return lax.fori_loop(0, sims, lambda i, c: c + 1.0, x)
 
-    t = bench(env_step, states, acts)
-    print(f"step_states:            {t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
+    overhead = timed(null_loop, jnp.float32(0))
+    print(f"call overhead (null loop): {overhead * 1e3:6.1f} ms", flush=True)
 
-    # 2. net eval incl. canonical form + valid mask (masked_policy)
+    def report(name, total):
+        per = (total - overhead) / sims
+        print(f"{name:<26}{per * 1e3:7.3f} ms/sim   "
+              f"(x{sims} = {(total - overhead) * 1e3:6.1f} ms + overhead)",
+              flush=True)
+
+    # 1. env step: states feed back each iteration (real data dependence)
     @jax.jit
-    def policy(s):
-        logits, value = net.apply(params, _transform.batch_canonical_form(s))
-        valid = _actions.batch_valid_moves(s) > 0
-        probs = jax.nn.softmax(jnp.where(valid, logits, -jnp.inf), axis=-1)
-        return probs, jnp.sum(value)
+    def env_loop(s0, key):
+        def body(i, c):
+            s, acc = c
+            acts = _actions.uniform_random_actions(jax.random.fold_in(key, i), s)
+            ns, info = _step.step_states(s, acts)
+            return ns, acc + jnp.sum(info.num_captured)
 
-    t = bench(policy, states)
-    print(f"masked_policy (net):    {t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
+        _, acc = lax.fori_loop(0, sims, body, (s0, jnp.int32(0)))
+        return acc
 
-    # 3. selection table build + walk over a representative random tree
+    report("step_states", timed(env_loop, states, key))
+
+    # 2. masked_policy: perturb one cell per iteration from the accumulator
+    @jax.jit
+    def policy_loop(s0):
+        def body(i, c):
+            s, acc = c
+            s = s.at[:, 0, 0, 0].set((i % 2).astype(jnp.int8))
+            logits, value = net.apply(params, _transform.batch_canonical_form(s))
+            valid = _actions.batch_valid_moves(s) > 0
+            probs = jax.nn.softmax(jnp.where(valid, logits, -jnp.inf), axis=-1)
+            return s, acc + jnp.sum(value) + probs[0, 0]
+
+        _, acc = lax.fori_loop(0, sims, body, (s0, jnp.float32(0)))
+        return acc
+
+    report("masked_policy (net)", timed(policy_loop, states))
+
+    # 3. selection tables + walk over a representative random tree
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
-    scores = jax.random.uniform(k1, (b, m, a))
+    scores0 = jax.random.uniform(k1, (b, m, a))
     child = jnp.where(
         jax.random.uniform(k2, (b, m, a)) < 0.05,
         jax.random.randint(k3, (b, m, a), 0, m),
@@ -116,62 +142,85 @@ def main():
     node_done = jnp.zeros((b, m), bool)
 
     @jax.jit
-    def select(scores, child):
-        tables = _treewalk.node_tables(scores, child, node_done)
-        depth, path_n, path_a = _treewalk.walk_paths(*tables, m)
-        return path_n, jnp.sum(depth)
+    def select_loop(scores0, child):
+        def body(i, c):
+            scores, acc = c
+            scores = scores.at[:, 0, 0].set(acc % 1.0)
+            tables = _treewalk.node_tables(scores, child, node_done)
+            depth, path_n, path_a = _treewalk.walk_paths(*tables, m)
+            return scores, acc + jnp.sum(depth).astype(jnp.float32) * 1e-6
 
-    t = bench(select, scores, child)
-    print(f"selection (tables+walk):{t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
+        _, acc = lax.fori_loop(0, sims, body, (scores0, jnp.float32(0)))
+        return acc
 
-    # 4. node write set: states row scatter + child pointer + backup
-    node_states = jnp.zeros((b, m, 6, n, n), jnp.int8)
-    visit = jnp.zeros((b, m, a), jnp.int32)
-    wsum = jnp.zeros((b, m, a), jnp.float32)
+    report("selection (tables+walk)", timed(select_loop, scores0, child))
+
+    # 4. node write set: states row + prior row + child pointer
+    prior0 = jnp.zeros((b, m, a), jnp.float32)
+    node_states0 = jnp.zeros((b, m, 6, n, n), jnp.int8)
     bidx = jnp.arange(b)
-    exp_parent = jax.random.randint(key, (b,), 0, m)
+    parent0 = jax.random.randint(key, (b,), 0, m)
+
+    @jax.jit
+    def write_loop(node_states0, prior0, s):
+        def body(i, c):
+            ns, pr, acc = c
+            slot = i % m
+            ns = ns.at[:, slot].set(s + acc.astype(jnp.int8))
+            pr = pr.at[:, slot].set(acc.astype(jnp.float32))
+            return ns, pr, acc + 1
+
+        ns, pr, acc = lax.fori_loop(
+            0, sims, body, (node_states0, prior0, jnp.int32(0))
+        )
+        return ns[0, 0, 0, 0, 0].astype(jnp.float32) + pr[0, 0, 0]
+
+    report("node write (state+prior)", timed(write_loop, node_states0, prior0, states))
+
+    # 5. parent state gather (expansion input), index depends on carry
+    @jax.jit
+    def read_loop(node_states, parent0):
+        def body(i, c):
+            p, acc = c
+            s = node_states[bidx, p]
+            acc = acc + jnp.sum(s[:, 0, 0, 0]).astype(jnp.int32)
+            return (p + 1) % m, acc
+
+        _, acc = lax.fori_loop(0, sims, body, (parent0, jnp.int32(0)))
+        return acc
+
+    report("node row gather", timed(read_loop, node_states0, parent0))
+
+    # 6. backup scatter-add
+    visit0 = jnp.zeros((b, m, a), jnp.int32)
+    wsum0 = jnp.zeros((b, m, a), jnp.float32)
     path_n = jax.random.randint(k1, (b, m), 0, m)
     path_a = jax.random.randint(k2, (b, m), 0, a)
     depth = jax.random.randint(k3, (b,), 1, m)
+    iota = jnp.arange(m)
 
     @jax.jit
-    def node_write(node_states, s):
-        ns = node_states.at[bidx, exp_parent].set(s)
-        return ns, jnp.sum(ns[:, 0, 0, 0, 0])
-
-    t = bench(node_write, node_states, states)
-    print(f"node_states row scatter:{t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
-
-    # 5. parent state gather (expansion input)
-    @jax.jit
-    def node_read(node_states, exp_parent):
-        s = node_states[bidx, exp_parent]
-        return s, jnp.sum(s[:, 0, 0, 0])
-
-    t = bench(node_read, node_states, exp_parent)
-    print(f"node_states row gather: {t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
-
-    # 6. backup scatter-add
-    @jax.jit
-    def backup(visit, wsum):
-        def one(pv, pw, pn, pa, d):
-            iota = jnp.arange(m)
+    def backup_loop(visit0, wsum0):
+        def one(pv, pw, pn, pa, d, v):
             on = iota < d
             nodes = jnp.where(on, pn, 0)
             acs = jnp.where(on, pa, 0)
             pv = pv.at[nodes, acs].add(on.astype(jnp.int32))
-            pw = pw.at[nodes, acs].add(jnp.where(on, 1.0, 0.0))
+            pw = pw.at[nodes, acs].add(jnp.where(on, v, 0.0))
             return pv, pw
 
-        visit, wsum = jax.vmap(one)(visit, wsum, path_n, path_a, depth)
-        return visit, jnp.sum(wsum[:, 0])
+        def body(i, c):
+            v, w = c
+            v, w = jax.vmap(one)(
+                v, w, path_n, path_a, depth,
+                jnp.full((b,), 1.0) + w[:, 0, 0]
+            )
+            return v, w
 
-    t = bench(backup, visit, wsum)
-    print(f"backup scatter-add:     {t * 1e3:7.2f} ms "
-          f"(x{args.sims} sims = {t * args.sims * 1e3:6.1f} ms)", flush=True)
+        v, w = lax.fori_loop(0, sims, body, (visit0, wsum0))
+        return jnp.sum(w[:, 0])
+
+    report("backup scatter-add", timed(backup_loop, visit0, wsum0))
 
 
 if __name__ == "__main__":

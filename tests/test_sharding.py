@@ -64,3 +64,40 @@ def test_state_sharding_layout():
     states = shard_states(env.reset(), mesh)
     # one env shard per device
     assert len(states.sharding.device_set) == 8
+
+
+def test_sharded_search_matches_unsharded():
+    """run_mcts on env-sharded states over the 8-device mesh must return
+    the same search results as unsharded — the search (tree arrays, walk,
+    exact env expansion) is per-env and must partition cleanly (the
+    multi-chip dryrun executes the Gumbel analog; this pins PUCT + equality)."""
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.rl.mcts import run_mcts
+
+    netcfg = AZNetConfig(board_size=5, channels=8, blocks=1)
+    net = AZNet(netcfg)
+    params = init_params(jax.random.PRNGKey(0), netcfg)
+
+    cfg = EnvConfig(board_size=5, batch_size=16, auto_reset=True)
+    env = BatchGoEnv(cfg)
+    states = env.reset()
+    r = env.rollout(jax.random.PRNGKey(3), states, 6)
+    states = r.final_states
+
+    def search(key, states):
+        res = run_mcts(key, states, params, net.apply,
+                       num_simulations=8, num_parallel=2)
+        return res.actions, res.root_visits, res.visit_policy
+
+    key = jax.random.PRNGKey(9)
+    plain = jax.jit(search)(key, states)
+
+    mesh = make_mesh()
+    sharded_states = jax.device_put(states, env_sharding(mesh, 4))
+    sharded = jax.jit(search)(key, sharded_states)
+
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(sharded[0]))
+    np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(sharded[1]))
+    np.testing.assert_allclose(
+        np.asarray(plain[2]), np.asarray(sharded[2]), rtol=1e-6
+    )
