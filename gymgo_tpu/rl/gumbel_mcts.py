@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from gymgo_tpu.core import actions as _actions
-from gymgo_tpu.core import score as _score
 from gymgo_tpu.core import state as _state
 from gymgo_tpu.core import step as _step
 from gymgo_tpu.core import transform as _transform
@@ -114,8 +113,14 @@ def run_gumbel_mcts(
     # Gumbel-top-m without replacement over valid actions.
     _, cand = lax.top_k(jnp.where(valid_root, root_logits + g, -jnp.inf), m)
     cand = cand.astype(jnp.int32)  # (B, M)
-    cand_valid = jnp.take_along_axis(valid_root, cand, axis=1)  # (B, M)
-    cand_base = jnp.take_along_axis(root_logits + g, cand, axis=1)  # g+logits
+    # one-hot candidate masks, reused every simulation for gather-free root
+    # stats (TPU gathers at (B, A) scale cost ~70us; the (B, M, A) masked
+    # reduces below are cheap VPU passes).
+    cand_onehot = cand[..., None] == jnp.arange(a_size, dtype=jnp.int32)
+    cand_valid = jnp.any(cand_onehot & valid_root[:, None, :], axis=-1)  # (B, M)
+    cand_base = jnp.sum(
+        jnp.where(cand_onehot, (root_logits + g)[:, None, :], 0.0), axis=-1
+    )
     cand_base = jnp.where(cand_valid, cand_base, -jnp.inf)
 
     # Tree arrays (node 0 = root; simulation i expands slot i+1).  Values
@@ -137,9 +142,11 @@ def run_gumbel_mcts(
     bidx = jnp.arange(b)
 
     def root_candidate_stats(visit, wsum):
-        """Per-candidate (N, q) at the root; q from the root mover's view."""
-        cn = jnp.take_along_axis(visit[:, 0], cand, axis=1)
-        cw = jnp.take_along_axis(wsum[:, 0], cand, axis=1)
+        """Per-candidate (N, q) at the root; q from the root mover's view.
+        Gather-free: masked reduces through the precomputed candidate
+        one-hots instead of per-sim take_along_axis."""
+        cn = jnp.sum(jnp.where(cand_onehot, visit[:, 0][:, None, :], 0), axis=-1)
+        cw = jnp.sum(jnp.where(cand_onehot, wsum[:, 0][:, None, :], 0.0), axis=-1)
         q = jnp.where(cn > 0, cw / jnp.maximum(cn, 1), 0.0)
         return cn, q
 
@@ -199,20 +206,24 @@ def run_gumbel_mcts(
         last = jnp.maximum(sel_depth - 1, 0)
         exp_parent = jnp.take_along_axis(path_n, last[:, None], axis=1)[:, 0]
         exp_action = jnp.take_along_axis(path_a, last[:, None], axis=1)[:, 0]
-        already = child[bidx, exp_parent, exp_action] >= 0
+        prev_child = _treewalk.gather_edge(child, exp_parent, exp_action)
+        already = prev_child >= 0
 
-        # ---- expansion: one exact env step per env.
+        # ---- expansion: one exact env step per env.  The terminal outcome
+        # rides the step's own fused area flood (StepInfo.black/white_area)
+        # instead of a second _score.winning flood per simulation.
         parent_states = node_states[bidx, exp_parent]
-        new_states, _ = _step.step_states(parent_states, exp_action)
+        new_states, step_info = _step.step_states(parent_states, exp_action)
         slot = jnp.int32(sim + 1)
         new_logits, new_values, new_valid = masked_policy(new_states)
         new_done = _state.game_ended(new_states)
-
-        def outcome_for_mover(sts):
-            sign_black = _score.winning(sts, komi)
-            return jnp.where(_state.turn(sts) == 1, -sign_black, sign_black)
-
-        leaf_value = jnp.where(new_done, outcome_for_mover(new_states), new_values)
+        win_black = jnp.sign(
+            step_info.black_area.astype(jnp.float32)
+            - step_info.white_area.astype(jnp.float32)
+            - komi
+        )
+        outcome = jnp.where(_state.turn(new_states) == 1, -win_black, win_black)
+        leaf_value = jnp.where(new_done, outcome, new_values)
 
         write = ~already
         node_states = node_states.at[bidx, slot].set(
@@ -230,11 +241,15 @@ def run_gumbel_mcts(
             )
         )
         child = child.at[bidx, exp_parent, exp_action].set(
-            jnp.where(write, slot, child[bidx, exp_parent, exp_action])
+            jnp.where(write, slot, prev_child)
         )
-        # Terminal-child revisit: back up its exact outcome again.
-        revisit_node = child[bidx, exp_parent, exp_action]
-        revisit_value = outcome_for_mover(node_states[bidx, revisit_node])
+        # Terminal-child revisit: back up its exact outcome again.  A
+        # revisited child is terminal, so its stored node_value IS its
+        # outcome from its own mover's perspective (set at creation) — no
+        # state gather, no re-scoring flood.
+        revisit_value = _treewalk.gather_node(
+            node_value, jnp.maximum(prev_child, 0)
+        )
         leaf_value = jnp.where(already, revisit_value, leaf_value)
 
         # ---- backup along the path with per-ply sign flips: ONE batched

@@ -64,6 +64,25 @@ def node_tables(scores, child, node_done):
     return best_act, nxt_tab, keep_tab
 
 
+def gather_edge(arr, parent, action):
+    """arr[b, parent[b], action[b]] for (B, M, A) ``arr`` — gather-free
+    (one one-hot reduce over M, one over A).  Correct for -1 sentinel
+    values via the +1/-1 trick."""
+    b, m, a_size = arr.shape
+    ohm = parent[:, None] == jnp.arange(m, dtype=jnp.int32)
+    row = jnp.sum(jnp.where(ohm[..., None], arr + 1, 0), axis=1)  # (B, A)
+    oha = action[:, None] == jnp.arange(a_size, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oha, row, 0), axis=1) - 1
+
+
+def gather_node(arr, node):
+    """arr[b, node[b]] for (B, M) ``arr`` — gather-free one-hot reduce.
+    ``node`` must be in range (clamp or mask at the call site)."""
+    m = arr.shape[1]
+    oh = node[:, None] == jnp.arange(m, dtype=jnp.int32)
+    return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+
 def forced_root_edge(forced_act, child, node_done):
     """Tables for a FORCED action at the root (the depth-0 edge), used by
     Gumbel search where sequential halving dictates the root action.
