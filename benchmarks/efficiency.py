@@ -7,6 +7,7 @@ numbers are directly comparable across engines:
 
   --engine jax        our GoEnv via the jitted device kernels
   --engine native     our GoEnv via the C++ host engine
+  --engine default    our GoEnv with its out-of-the-box backend="auto"
   --engine reference  the actual reference numpy engine (oracle shims)
 
 Run: python benchmarks/efficiency.py --engine native
@@ -69,6 +70,8 @@ def make_env(engine: str, boardsize: int):
         return RefEnv()
     from gymgo_tpu.env import GoEnv
 
+    if engine == "default":
+        return GoEnv(size=boardsize, reward_method="real")
     backend = "native" if engine == "native" else "jax"
     return GoEnv(size=boardsize, reward_method="real", backend=backend)
 
@@ -131,7 +134,7 @@ def rand_trajs_with_children(env, boardsize, iterations):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", choices=["jax", "native", "reference"], default="native")
+    ap.add_argument("--engine", choices=["jax", "native", "default", "reference"], default="native")
     ap.add_argument("--boardsize", type=int, default=9)
     ap.add_argument("--iterations", type=int, default=64)
     ap.add_argument("--skip-children", action="store_true")

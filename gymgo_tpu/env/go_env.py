@@ -39,23 +39,36 @@ class GoEnv(_ENV_BASE):
     govars = govars
     gogame = gogame
 
-    def __init__(self, size, komi=0, reward_method="real", backend="jax"):
-        """``backend``: 'jax' routes stepping through the jitted device
-        kernels (canonical path); 'native' uses the C++ host engine
-        (microsecond latency for interactive/single-game use; bit-identical
-        semantics, see tests/test_native_engine.py)."""
+    def __init__(self, size, komi=0, reward_method="real", backend="auto"):
+        """``backend``: 'native' uses the C++ host engine (microsecond
+        latency for interactive/single-game use; bit-identical semantics,
+        see tests/test_native_engine.py); 'jax' routes stepping through the
+        jitted device kernels (the batched path's kernels, but dispatch-
+        bound at batch=1); 'auto' (default) picks native when the C++
+        engine builds/loads on this host and falls back to jax otherwise.
+        Single-env stepping is a host-latency problem, not a device-compute
+        problem — auto makes the one protocol the reference wins
+        (benchmarks/efficiency.py single-env) a ~24x win instead."""
         self.size = size
         self.komi = komi
         self.state_ = gogame.init_state(size)
         self.reward_method = RewardMethod(reward_method)
-        self.backend = backend
         self._native = None
-        if backend == "native":
+        if backend == "auto":
+            try:
+                from gymgo_tpu.native import NativeGoEngine
+
+                self._native = NativeGoEngine(size)
+                backend = "native"
+            except Exception:
+                backend = "jax"
+        elif backend == "native":
             from gymgo_tpu.native import NativeGoEngine
 
             self._native = NativeGoEngine(size)
         elif backend != "jax":
             raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         if _gym is not None:
             self.observation_space = _gym.spaces.Box(
                 np.float32(0),

@@ -11,7 +11,7 @@ from gymgo_tpu.env import GoEnv
 
 @pytest.fixture
 def env():
-    e = GoEnv(size=7, reward_method="real")
+    e = GoEnv(size=7, reward_method="real", backend="jax")
     e.reset()
     return e
 
@@ -24,7 +24,7 @@ def test_state(env):
 
 @pytest.mark.parametrize("size", [7, 13, 19])
 def test_board_sizes(size):
-    env = GoEnv(size=size)
+    env = GoEnv(size=size, backend="jax")
     state = env.reset()
     assert state.shape[1] == size and state.shape[2] == size
 
@@ -117,7 +117,7 @@ def test_game_does_not_end_with_disjoint_passes(env):
 
 
 def test_num_liberties():
-    env = GoEnv(size=7)
+    env = GoEnv(size=7, backend="jax")
     env.reset()
     for step, libs in zip([(0, 0), (0, 1)], [(2, 0), (1, 2)]):
         state, *_ = env.step(step)
@@ -132,7 +132,7 @@ def test_num_liberties():
 
 
 def test_komi():
-    env = GoEnv(size=7, komi=2.5, reward_method="real")
+    env = GoEnv(size=7, komi=2.5, reward_method="real", backend="jax")
 
     # White wins the empty double-pass game on komi.
     env.step(None)
@@ -169,7 +169,7 @@ def test_children(env):
 
 
 def test_real_reward():
-    env = GoEnv(size=7, reward_method="real")
+    env = GoEnv(size=7, reward_method="real", backend="jax")
 
     state, reward, done, info = env.step((0, 0))
     assert reward == 0
@@ -191,7 +191,7 @@ def test_real_reward():
 
 
 def test_heuristic_reward():
-    env = GoEnv(size=7, reward_method="heuristic")
+    env = GoEnv(size=7, reward_method="heuristic", backend="jax")
 
     for action, expected in [
         ((0, 0), 49),

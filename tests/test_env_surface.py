@@ -112,3 +112,30 @@ def test_gym_go_compat_shim_subprocess():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert "compat-ok" in out.stdout, out.stderr[-2000:]
+
+
+def test_backend_auto_picks_native_and_matches_jax():
+    """backend='auto' (the default) uses the C++ host engine when it builds
+    on this host, and plays bit-identically to the jax facade on a scripted
+    game (the broad equivalence contract lives in tests/test_native_engine.py;
+    this pins the *default-constructor* behavior)."""
+    from gymgo_tpu.env.go_env import GoEnv
+
+    auto = GoEnv(size=5)
+    try:
+        from gymgo_tpu.native import NativeGoEngine  # noqa: F401
+
+        NativeGoEngine(5)
+        native_ok = True
+    except Exception:
+        native_ok = False
+    assert auto.backend == ("native" if native_ok else "jax")
+
+    ref = GoEnv(size=5, backend="jax")
+    moves = [(0, 0), (1, 1), (0, 1), (2, 0), None, (0, 2),
+             (2, 2), None, (3, 3)]
+    for mv in moves:
+        oa, ra, da, _ = auto.step(mv)
+        oj, rj, dj, _ = ref.step(mv)
+        np.testing.assert_array_equal(oa, oj)
+        assert (ra, da) == (rj, dj)

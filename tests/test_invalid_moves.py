@@ -12,7 +12,7 @@ from gymgo_tpu.env import GoEnv
 
 @pytest.fixture
 def env():
-    e = GoEnv(size=7, reward_method="real")
+    e = GoEnv(size=7, reward_method="real", backend="jax")
     e.reset()
     return e
 
@@ -104,7 +104,7 @@ def test_invalid_game_already_over_move(env):
 
 
 def test_small_suicide():
-    env = GoEnv(size=3, reward_method="real")
+    env = GoEnv(size=3, reward_method="real", backend="jax")
     env.reset()
     play(env, [6, 7, 8, 5, 4, 8, 0, 1])
     with pytest.raises(Exception):
@@ -112,7 +112,7 @@ def test_small_suicide():
 
 
 def test_invalid_after_capture():
-    env = GoEnv(size=3, reward_method="real")
+    env = GoEnv(size=3, reward_method="real", backend="jax")
     env.reset()
     play(env, [0, 8, 6, 4, 1, 2, 3, 7])
     with pytest.raises(Exception):

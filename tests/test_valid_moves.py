@@ -11,7 +11,7 @@ from gymgo_tpu.env import GoEnv
 
 @pytest.fixture
 def env():
-    e = GoEnv(size=7, reward_method="real")
+    e = GoEnv(size=7, reward_method="real", backend="jax")
     e.reset()
     return e
 
