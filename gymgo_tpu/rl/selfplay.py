@@ -33,7 +33,8 @@ class SelfPlayBatch(NamedTuple):
     done: jax.Array | None = None  # bool (T, B): game ended AT this step
 
 
-def per_game_value_targets(done, sign, final_states, mover_white, komi):
+def per_game_value_targets(done, sign, final_states, mover_white, komi,
+                           z_final=None):
     """Per-step game outcomes across auto-reset game boundaries.
 
     With ``auto_reset`` one scan window spans several games per env; the
@@ -42,14 +43,22 @@ def per_game_value_targets(done, sign, final_states, mover_white, komi):
     value learning.  Here each step's target is the outcome of its OWN
     game: a reverse scan backward-fills the terminal sign recorded at each
     game's ending step; steps of the window's truncated last game fall
-    back to the current winner sign of the final state (bootstrap-free
-    approximation, as before).
+    back to ``z_final`` — by default the current winner sign of the final
+    state (bootstrap-free approximation).
+
+    Callers may pass ``z_final`` (B,) from BLACK's perspective to use a
+    better truncation estimate: ``net_value_black`` gives the net's own
+    value head (a TD-style bootstrap).  At small boards windows cover whole
+    games and this barely matters; at 13x13/19x19 a window is a fraction of
+    one game, and the area-sign of a HALF-PLAYED board is mostly stone-count
+    noise — the bootstrap replaces that with the trained estimator.
 
     done, sign: (T, B) post-step done flags and terminal outcome signs
     from black's perspective (read where done).  Returns (T, B) value
     targets from each step's mover's perspective.
     """
-    z_final = _score.winning(final_states, komi)
+    if z_final is None:
+        z_final = _score.winning(final_states, komi)
 
     def back(carry, ds):
         d, s = ds
@@ -58,6 +67,15 @@ def per_game_value_targets(done, sign, final_states, mover_white, komi):
 
     _, z_black = lax.scan(back, z_final, (done, sign), reverse=True)
     return jnp.where(mover_white, -z_black, z_black)
+
+
+def net_value_black(final_states, params, apply_fn):
+    """The net's value of ``final_states`` from BLACK's perspective, for
+    use as the truncated-game estimate in ``per_game_value_targets``.
+    ``apply_fn(params, canonical) -> (logits, value)`` with value from the
+    canonical mover's perspective."""
+    _, v = apply_fn(params, _transform.batch_canonical_form(final_states))
+    return jnp.where(_state.turn(final_states) == 1, -v, v)
 
 
 def _reset_done(st, config):
@@ -109,6 +127,7 @@ def selfplay_rollout(
     config: EnvConfig,
     temperature: float = 1.0,
     pass_min_stones: int = 0,
+    value_bootstrap: bool = False,
 ) -> tuple[jax.Array, SelfPlayBatch]:
     """Roll ``num_steps`` of net-guided self-play from ``states``.
 
@@ -144,7 +163,10 @@ def selfplay_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
+    zf = (net_value_black(final_states, params, apply_fn)
+          if value_bootstrap else None)
+    z = per_game_value_targets(done, sign, final_states, mover_white,
+                               config.komi, z_final=zf)
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
         mover_white=mover_white, done=done,
@@ -161,6 +183,7 @@ def selfplay_search_rollout(
     num_sampled: int = 16,
     c_q: float = 1.0,
     pass_min_stones: int = 0,
+    value_bootstrap: bool = False,
 ):
     """Self-play driven by the one-ply Gumbel lookahead (rl.search); policy
     targets are the search-improved distributions instead of the raw net
@@ -188,7 +211,10 @@ def selfplay_search_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
+    zf = (net_value_black(final_states, params, apply_fn)
+          if value_bootstrap else None)
+    z = per_game_value_targets(done, sign, final_states, mover_white,
+                               config.komi, z_final=zf)
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
         mover_white=mover_white, done=done,
@@ -225,6 +251,7 @@ def selfplay_mcts_rollout(
     tree_reuse=False,
     reuse_cap: int | None = None,
     pass_min_stones: int = 0,
+    value_bootstrap: bool = False,
     **mcts_kw,
 ):
     """Full-AZ self-play: MCTS action selection with visit-count policy
@@ -303,7 +330,10 @@ def selfplay_mcts_rollout(
     (final_states, _, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, warm0, key), None, length=num_steps
     )
-    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
+    zf = (net_value_black(final_states, params, apply_fn)
+          if value_bootstrap else None)
+    z = per_game_value_targets(done, sign, final_states, mover_white,
+                               config.komi, z_final=zf)
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
         mover_white=mover_white, done=done,
@@ -320,6 +350,7 @@ def selfplay_gumbel_rollout(
     num_simulations: int = 32,
     max_considered: int = 16,
     pass_min_stones: int = 0,
+    value_bootstrap: bool = False,
     **gumbel_kw,
 ):
     """Gumbel-AZ self-play: sequential-halving search actions with
@@ -348,7 +379,10 @@ def selfplay_gumbel_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    z = per_game_value_targets(done, sign, final_states, mover_white, config.komi)
+    zf = (net_value_black(final_states, params, apply_fn)
+          if value_bootstrap else None)
+    z = per_game_value_targets(done, sign, final_states, mover_white,
+                               config.komi, z_final=zf)
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
         mover_white=mover_white, done=done,

@@ -75,6 +75,39 @@ def test_per_game_value_targets_backfill():
     np.testing.assert_array_equal(z2, -z)
 
 
+def test_per_game_value_targets_bootstrap_override():
+    """z_final overrides ONLY the truncated tail: completed-game rows keep
+    their own terminal outcome; the tail takes the caller-supplied
+    (net-value) estimate, black's perspective in, mover's perspective out."""
+    from gymgo_tpu.rl.selfplay import net_value_black, per_game_value_targets
+
+    T, B = 5, 2
+    done = jnp.array([[0, 0], [1, 0], [0, 0], [0, 0], [0, 0]], dtype=bool)
+    sign = jnp.array([[9., 9.], [1., 9.], [9., 9.], [9., 9.], [9., 9.]])
+    final_states = _state.batch_init_state(B, 5)
+    mover_white = jnp.zeros((T, B), bool)
+    zf = jnp.array([0.25, -0.5])
+    z = np.asarray(per_game_value_targets(done, sign, final_states,
+                                          mover_white, 0.0, z_final=zf))
+    np.testing.assert_allclose(z[:, 0], [1, 1, 0.25, 0.25, 0.25])
+    np.testing.assert_allclose(z[:, 1], [-0.5] * 5)
+
+    # net_value_black sign convention: on a board where it's WHITE's turn
+    # the net value (mover = white) must come back negated.
+    net, params, netcfg = _small_net(5)
+    states = _state.batch_init_state(B, 5)
+    from gymgo_tpu.core import step as _step
+    states, _ = _step.step_states(states, jnp.array([0, 25]))  # env0: black
+    v_black = net_value_black(states, params, net.apply)
+    canonical = __import__("gymgo_tpu.core.transform", fromlist=["x"]).batch_canonical_form(states)
+    _, v_mover = net.apply(params, canonical)
+    turn_white = _state.turn(states) == 1
+    np.testing.assert_allclose(
+        np.asarray(v_black),
+        np.asarray(jnp.where(turn_white, -v_mover, v_mover)),
+    )
+
+
 def test_selfplay_value_targets_respect_game_boundaries():
     """Integration: in an auto-reset rollout long enough to span several
     games per env, the black-perspective value target must be constant

@@ -59,6 +59,12 @@ def main():
                          "ahead, which loses tempo vs any opponent that "
                          "keeps playing). -1 = auto (board_size^2 // 2); "
                          "0 disables")
+    ap.add_argument("--value-bootstrap", action="store_true",
+                    help="truncated-window value targets use the net's own "
+                         "value head at the window-final states (TD-style "
+                         "bootstrap) instead of the current area-sign; "
+                         "recommended at 13x13+ where one rollout window "
+                         "covers a fraction of a game")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--eval-every", type=int, default=0,
@@ -141,6 +147,7 @@ def main():
                 num_simulations=args.gumbel_sims,
                 max_considered=args.gumbel_m,
                 pass_min_stones=pass_min,
+                value_bootstrap=args.value_bootstrap,
             )
         elif args.mcts_sims > 0:
             final, batch = selfplay_mcts_rollout(
@@ -149,18 +156,21 @@ def main():
                 num_parallel=args.mcts_par,
                 tree_reuse=args.mcts_reuse or False,
                 pass_min_stones=pass_min,
+                value_bootstrap=args.value_bootstrap,
             )
         elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_sampled=args.search_k,
                 pass_min_stones=pass_min,
+                value_bootstrap=args.value_bootstrap,
             )
         else:
             final, batch = selfplay_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 temperature=args.temperature,
                 pass_min_stones=pass_min,
+                value_bootstrap=args.value_bootstrap,
             )
         t, b = batch.value_target.shape
         flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
