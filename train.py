@@ -93,10 +93,22 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the 19x19 Gumbel scan costs minutes of
+    # XLA:TPU compile; identical (shape, config) reruns — resumes, recipe
+    # sweeps, the common case — then load from disk in seconds.  Opt out
+    # with GYMGO_COMPILE_CACHE=0 or point it elsewhere with a path.
+    cache = os.environ.get("GYMGO_COMPILE_CACHE", "~/.cache/gymgo_jax")
+    if cache not in ("0", ""):
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import jax.numpy as jnp
 
