@@ -60,11 +60,15 @@ def main():
                          "keeps playing). -1 = auto (board_size^2 // 2); "
                          "0 disables")
     ap.add_argument("--value-bootstrap", action="store_true",
-                    help="truncated-window value targets use the net's own "
-                         "value head at the window-final states (TD-style "
-                         "bootstrap) instead of the current area-sign; "
-                         "recommended at 13x13+ where one rollout window "
-                         "covers a fraction of a game")
+                    help="EXPERIMENTAL/measured-harmful as-is: truncated-"
+                         "window value targets use the net's own value head "
+                         "at the window-final states instead of the current "
+                         "area-sign.  When most windows contain no game end "
+                         "(13x13+, window << game length) the bootstrap is "
+                         "self-referential and the value head collapses to "
+                         "a constant (v-loss -> 0.001, BENCHMARKS.md); keep "
+                         "the grounded area-sign default unless windows "
+                         "cover whole games")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--eval-every", type=int, default=0,
