@@ -43,11 +43,30 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compilation cache (same knob as train.py).  Root-cause of
+    # BENCH_r02's 1211s "compile+first run" (vs 36s in round 1), measured:
+    # the LOCAL XLA compile of this program is 2.9s — the wait is the
+    # REMOTE side of the axon tunnel compiling/queueing at first execution,
+    # with enormous variance (same program, same day: 545s / 124s / 566s;
+    # a small 9x9 probe: 68s cold vs 361s with a local cache HIT).  A local
+    # cache hit deserializes the executable but does NOT skip the remote
+    # work, so no client-side change can bound the first run.  The cache is
+    # still enabled for the parts it does help (CPU runs, small host-side
+    # jits).  Opt out with GYMGO_COMPILE_CACHE=0.
+    cache = os.environ.get("GYMGO_COMPILE_CACHE", "~/.cache/gymgo_jax")
+    if cache not in ("0", ""):
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from gymgo_tpu.config import EnvConfig
     from gymgo_tpu.core.state import batch_init_state

@@ -34,8 +34,47 @@ def main():
     ap.add_argument("--search", choices=["puct", "gumbel", "both"],
                     default="both")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--batch-sweep", default="",
+                    help="comma-separated batch sizes; runs the selected "
+                         "search at each and prints a decisions/s-vs-batch "
+                         "table with per-env degradation vs the smallest "
+                         "(the step got the same sweep — BENCHMARKS.md)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+
+    if args.batch_sweep:
+        batches = [int(x) for x in args.batch_sweep.split(",")]
+        assert args.search in ("puct", "gumbel"), "--batch-sweep needs one search"
+        rows = []
+        for bsz in batches:
+            sub = [sys.executable, os.path.abspath(__file__),
+                   "--board", str(args.board), "--batch", str(bsz),
+                   "--sims", str(args.sims), "--par", str(args.par),
+                   "--channels", str(args.channels),
+                   "--blocks", str(args.blocks),
+                   "--search", args.search, "--repeats", str(args.repeats)] \
+                  + (["--cpu"] if args.cpu else [])
+            import subprocess
+            out = subprocess.run(sub, capture_output=True, text=True,
+                                 timeout=3600)
+            line = [ln for ln in out.stdout.splitlines() if "decisions/s" in ln]
+            if not line:
+                log(f"B={bsz} FAILED:\n{out.stderr[-2000:]}")
+                continue
+            ms = float(line[0].split(";")[1].strip().split(" ")[0])
+            rows.append((bsz, ms))
+            log(f"B={bsz}: {line[0]}")
+        if rows:
+            b0, ms0 = rows[0]
+            print(f"{args.search} {args.board}x{args.board} {args.sims} sims "
+                  f"({args.channels}ch x {args.blocks}): batch sweep")
+            print("| B | ms/search | decisions/s | ms/env | degradation vs "
+                  f"B={b0} |")
+            print("|---|---|---|---|---|")
+            for bsz, ms in rows:
+                print(f"| {bsz} | {ms:.1f} | {bsz / ms * 1e3:,.0f} | "
+                      f"{ms / bsz:.3f} | {ms / bsz / (ms0 / b0):.2f}x |")
+        return
 
     import jax
     import jax.numpy as jnp

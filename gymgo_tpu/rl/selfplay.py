@@ -47,11 +47,22 @@ def per_game_value_targets(done, sign, final_states, mover_white, komi,
     state (bootstrap-free approximation).
 
     Callers may pass ``z_final`` (B,) from BLACK's perspective to use a
-    better truncation estimate: ``net_value_black`` gives the net's own
-    value head (a TD-style bootstrap).  At small boards windows cover whole
+    better truncation estimate: ``net_value_black`` gives a value-head
+    estimate (a TD-style bootstrap).  At small boards windows cover whole
     games and this barely matters; at 13x13/19x19 a window is a fraction of
     one game, and the area-sign of a HALF-PLAYED board is mostly stone-count
     noise — the bootstrap replaces that with the trained estimator.
+
+    SOUNDNESS: the bootstrap MUST come from a FROZEN target network, not
+    the online params.  With the online net, when most windows contain no
+    game end the target is self-referential and the constant-zero value
+    function is a fixed point of the update — a measured 13x13 resume
+    collapsed exactly that way (v-loss 0.45 -> 0.0008, BENCHMARKS.md).
+    The ``selfplay_*_rollout(value_bootstrap=True, target_params=...)``
+    plumbing and train.py's ``--value-bootstrap`` (periodic hard copy
+    every ``--target-update`` iters) implement the frozen-target form;
+    passing ``value_bootstrap=True`` without ``target_params`` reproduces
+    the measured-harmful online form and is for experiments only.
 
     done, sign: (T, B) post-step done flags and terminal outcome signs
     from black's perspective (read where done).  Returns (T, B) value
@@ -128,6 +139,7 @@ def selfplay_rollout(
     temperature: float = 1.0,
     pass_min_stones: int = 0,
     value_bootstrap: bool = False,
+    target_params=None,
 ) -> tuple[jax.Array, SelfPlayBatch]:
     """Roll ``num_steps`` of net-guided self-play from ``states``.
 
@@ -163,7 +175,10 @@ def selfplay_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    zf = (net_value_black(final_states, params, apply_fn)
+    zf = (net_value_black(
+              final_states,
+              params if target_params is None else target_params,
+              apply_fn)
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
@@ -184,6 +199,7 @@ def selfplay_search_rollout(
     c_q: float = 1.0,
     pass_min_stones: int = 0,
     value_bootstrap: bool = False,
+    target_params=None,
 ):
     """Self-play driven by the one-ply Gumbel lookahead (rl.search); policy
     targets are the search-improved distributions instead of the raw net
@@ -211,7 +227,10 @@ def selfplay_search_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    zf = (net_value_black(final_states, params, apply_fn)
+    zf = (net_value_black(
+              final_states,
+              params if target_params is None else target_params,
+              apply_fn)
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
@@ -252,6 +271,7 @@ def selfplay_mcts_rollout(
     reuse_cap: int | None = None,
     pass_min_stones: int = 0,
     value_bootstrap: bool = False,
+    target_params=None,
     **mcts_kw,
 ):
     """Full-AZ self-play: MCTS action selection with visit-count policy
@@ -330,7 +350,10 @@ def selfplay_mcts_rollout(
     (final_states, _, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, warm0, key), None, length=num_steps
     )
-    zf = (net_value_black(final_states, params, apply_fn)
+    zf = (net_value_black(
+              final_states,
+              params if target_params is None else target_params,
+              apply_fn)
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
@@ -351,6 +374,7 @@ def selfplay_gumbel_rollout(
     max_considered: int = 16,
     pass_min_stones: int = 0,
     value_bootstrap: bool = False,
+    target_params=None,
     **gumbel_kw,
 ):
     """Gumbel-AZ self-play: sequential-halving search actions with
@@ -379,7 +403,10 @@ def selfplay_gumbel_rollout(
     (final_states, _), (obs, probs, mover_white, live, done, sign) = lax.scan(
         body, (states, key), None, length=num_steps
     )
-    zf = (net_value_black(final_states, params, apply_fn)
+    zf = (net_value_black(
+              final_states,
+              params if target_params is None else target_params,
+              apply_fn)
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)

@@ -27,7 +27,17 @@ def run_game_window(env):
     state = env.state()
     size = env.size
 
-    screen = pyglet.canvas.get_display().get_default_screen()
+    # pyglet 2.1 renamed pyglet.canvas -> pyglet.display and
+    # shapes.Line(width=) -> Line(thickness=); support both so the GUI runs
+    # on any installed 2.x (no live pyglet exists in this image to pin one).
+    display_mod = getattr(pyglet, "display", None) or pyglet.canvas
+    import inspect
+    line_params = inspect.signature(pyglet.shapes.Line.__init__).parameters
+    line_thickness = (
+        "thickness" if "thickness" in line_params else "width"
+    )
+
+    screen = display_mod.get_display().get_default_screen()
     layout = gui_math.board_layout(screen.width, screen.height, size)
     window_width, window_height = layout.window_width, layout.window_height
     window = pyglet.window.Window(window_width, window_height)
@@ -61,10 +71,12 @@ def run_game_window(env):
             offset = lower_grid_coord + i * delta
             keep.append(pyglet.shapes.Line(
                 lower_grid_coord, offset, upper_grid_coord, offset,
-                thickness=3, color=(77, 77, 77), batch=batch))
+                color=(77, 77, 77), batch=batch,
+                **{line_thickness: 3}))
             keep.append(pyglet.shapes.Line(
                 offset, lower_grid_coord, offset, upper_grid_coord,
-                thickness=3, color=(77, 77, 77), batch=batch))
+                color=(77, 77, 77), batch=batch,
+                **{line_thickness: 3}))
             for (x, y) in ((lower_grid_coord - 20, offset), (offset, lower_grid_coord - 20)):
                 keep.append(pyglet.text.Label(
                     str(i), font_name="Courier", font_size=11, x=x, y=y,

@@ -65,8 +65,7 @@ def main():
     ap.add_argument("--boardsize", type=int, default=7)
     ap.add_argument("--komi", type=float, default=0.0)
     ap.add_argument("--games", type=int, default=8,
-                    help="games per ordered pairing direction (total per pair"
-                         " = 2x with colors alternating inside)")
+                    help="total games per pair, colors alternating")
     ap.add_argument("--player", action="append", required=True,
                     help="NAME=SPEC or bare SPEC (spec syntax of gtp_match)")
     ap.add_argument("--channels", type=int, default=64)

@@ -82,6 +82,7 @@ def _uninterrupted_checksums():
 
 
 @pytest.mark.timeout(900)
+@pytest.mark.slow
 def test_kill_one_host_restart_from_checkpoint(tmp_path):
     ckpt = str(tmp_path / "fault_ckpt.npz")
 

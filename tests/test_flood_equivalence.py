@@ -177,6 +177,7 @@ def test_split_variant_classification_agrees():
             np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.slow
 def test_bundle_variants_agree():
     """flood_bundle_bitpack, flood_bundle_gatepack (all jump sets), and the
     from-parts fallback must produce identical (one_lib, multi_lib, only_a,

@@ -1,6 +1,7 @@
 """GTP engine tests: protocol framing, command coverage, legality, scoring,
 and a full random-vs-random game driven purely through the protocol."""
 
+import pytest
 import numpy as np
 
 from gymgo_tpu.utils.gtp import GTPEngine, _action_to_vertex, _vertex_to_action
@@ -81,6 +82,7 @@ def test_full_random_game_and_score():
         float(score.split("+")[1])  # parses as a number
 
 
+@pytest.mark.slow
 def test_genmove_legality_stream():
     eng = GTPEngine(7, komi=0.0, seed=3)
     for ply in range(60):
@@ -127,6 +129,7 @@ def test_genmove_match_pass_rule():
     assert not err and resp.strip().split()[-1] == "pass"
 
 
+@pytest.mark.slow
 def test_puct_mover_tree_reuse():
     """PUCT genmove with cross-move subtree reuse: a full engine-vs-scripted
     dialogue, tree descending through both players' moves, invalidation on

@@ -2,6 +2,7 @@
 determinism, terminal-value exploitation, policy-target sanity, rollout
 integration."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,7 @@ def test_gumbel_mcts_policy_in_rollout():
     assert r.final_states.shape == (4, 6, 5, 5)
 
 
+@pytest.mark.slow
 def test_improvement_operator_sign_oracle():
     """A pass that would END the game as a certain WIN must receive maximal
     improved-policy mass; the mirrored losing pass must get ~zero.  This

@@ -4,12 +4,15 @@ exploitation, rollout integration."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gymgo_tpu.config import EnvConfig
 from gymgo_tpu.core.state import batch_init_state
 from gymgo_tpu.env.batch_env import BatchGoEnv, rollout
 from gymgo_tpu.models import AZNet, AZNetConfig, init_params
 from gymgo_tpu.rl.mcts import make_mcts_policy, run_mcts
+
+pytestmark = pytest.mark.slow  # minutes-scale; run with the full profile
 
 
 def _net(n=5):

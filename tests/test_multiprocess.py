@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale; run with the full profile
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BOARD, BATCH, STEPS, SEED = 5, 16, 24, 0
 

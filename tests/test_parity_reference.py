@@ -55,6 +55,7 @@ def test_random_game_parity_9x9(seed):
     _play_parity_game(9, seed, max_steps=200)
 
 
+@pytest.mark.slow
 def test_random_game_parity_19x19():
     _play_parity_game(19, seed=0, max_steps=160, check_extras_every=40)
 
@@ -115,6 +116,7 @@ def test_random_action_stream_parity():
     assert ref_actions == tpu_actions
 
 
+@pytest.mark.slow
 def test_random_game_parity_13x13():
     _play_parity_game(13, seed=1, max_steps=120, check_extras_every=30)
 

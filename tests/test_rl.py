@@ -1,6 +1,7 @@
 """Model + learner tests: shapes, legality of self-play, train-step update,
 checkpoint round-trip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +109,48 @@ def test_per_game_value_targets_bootstrap_override():
     )
 
 
+def test_selfplay_bootstrap_uses_frozen_target_params():
+    """value_bootstrap + target_params: every truncated-tail row's target is
+    the FROZEN target net's value of the window-final state (black's
+    perspective, mover-flipped), not the online net's — the frozen-target
+    fix for the measured 13x13 value-head collapse (BENCHMARKS.md)."""
+    from gymgo_tpu.models import init_params as _init
+    from gymgo_tpu.rl.selfplay import net_value_black
+
+    net, params, netcfg = _small_net(5)
+    target = _init(jax.random.PRNGKey(42), netcfg)
+    env_cfg = EnvConfig(board_size=5, batch_size=4, auto_reset=True)
+    states = _state.batch_init_state(4, 5)
+    run = jax.jit(lambda k, s, p, tp: selfplay_rollout(
+        k, s, p, net.apply, 40, env_cfg,
+        value_bootstrap=True, target_params=tp))
+    final, batch = run(jax.random.PRNGKey(3), states, params, target)
+
+    zf = np.asarray(net_value_black(final, target, net.apply))
+    done = np.asarray(batch.done)
+    mw = np.asarray(batch.mover_white)
+    z = np.asarray(batch.value_target)
+    z_black = np.where(mw, -z, z)
+    T, B = done.shape
+    tail_rows = 0
+    for b in range(B):
+        ends = np.flatnonzero(done[:, b])
+        start = ends.max() + 1 if ends.size else 0
+        for t in range(start, T):
+            # loose tol: in-jit vs out-of-jit conv fusion differs ~1e-3
+            np.testing.assert_allclose(z_black[t, b], zf[b], atol=5e-3)
+            # exact: every tail row carries the SAME backward-filled value
+            assert z_black[t, b] == z_black[start, b]
+            tail_rows += 1
+    assert tail_rows, "no env truncated mid-game; lengthen the rollout"
+
+    # Same trajectory (actions use online params only), different target
+    # net => different tail targets: proves target_params is what's read.
+    _, batch_online = run(jax.random.PRNGKey(3), states, params, params)
+    assert np.array_equal(np.asarray(batch_online.done), done)
+    assert not np.allclose(np.asarray(batch_online.value_target), z)
+
+
 def test_selfplay_value_targets_respect_game_boundaries():
     """Integration: in an auto-reset rollout long enough to span several
     games per env, the black-perspective value target must be constant
@@ -195,6 +238,7 @@ def test_with_pass_to_win():
     assert int(acts2[1]) == 0 and int(acts2[2]) == 0  # board moves untouched
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss_on_fixed_batch():
     net, params, netcfg = _small_net(5)
     state, tx = make_train_state(params, learning_rate=1e-2)

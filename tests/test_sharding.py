@@ -66,6 +66,7 @@ def test_state_sharding_layout():
     assert len(states.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_search_matches_unsharded():
     """run_mcts on env-sharded states over the 8-device mesh must return
     the same search results as unsharded — the search (tree arrays, walk,

@@ -60,15 +60,24 @@ def main():
                          "keeps playing). -1 = auto (board_size^2 // 2); "
                          "0 disables")
     ap.add_argument("--value-bootstrap", action="store_true",
-                    help="EXPERIMENTAL/measured-harmful as-is: truncated-"
-                         "window value targets use the net's own value head "
-                         "at the window-final states instead of the current "
-                         "area-sign.  When most windows contain no game end "
-                         "(13x13+, window << game length) the bootstrap is "
-                         "self-referential and the value head collapses to "
-                         "a constant (v-loss -> 0.001, BENCHMARKS.md); keep "
-                         "the grounded area-sign default unless windows "
-                         "cover whole games")
+                    help="truncated-window value targets bootstrap from a "
+                         "FROZEN target network's value head at the "
+                         "window-final states instead of the area-sign of "
+                         "the half-played board (which is stone-count noise "
+                         "at 13x13+ where a window covers a fraction of one "
+                         "game).  The target net is a hard copy of the "
+                         "online params refreshed every --target-update "
+                         "iters — bootstrapping from the ONLINE net is "
+                         "measured-harmful (value head collapses to a "
+                         "constant when most windows lack game ends, "
+                         "BENCHMARKS.md) and train.py no longer exposes it")
+    ap.add_argument("--target-update", type=int, default=8,
+                    help="iterations between hard online->target copies for "
+                         "--value-bootstrap's frozen target network")
+    ap.add_argument("--snapshot-every", type=int, default=0,
+                    help=">0: with --checkpoint PATH.npz, also save immutable "
+                         "snapshots PATH_iterK.npz every K iterations (Elo "
+                         "ladder / head-to-head inputs)")
     ap.add_argument("--augment", action="store_true",
                     help="random dihedral symmetry augmentation of replay data")
     ap.add_argument("--eval-every", type=int, default=0,
@@ -156,14 +165,15 @@ def main():
     )
 
     @jax.jit
-    def selfplay_iter(key, states, params):
+    def selfplay_iter(key, states, params, target_params):
+        vb = dict(value_bootstrap=args.value_bootstrap,
+                  target_params=target_params)
         if args.gumbel_sims > 0:
             final, batch = selfplay_gumbel_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_simulations=args.gumbel_sims,
                 max_considered=args.gumbel_m,
-                pass_min_stones=pass_min,
-                value_bootstrap=args.value_bootstrap,
+                pass_min_stones=pass_min, **vb,
             )
         elif args.mcts_sims > 0:
             final, batch = selfplay_mcts_rollout(
@@ -171,22 +181,19 @@ def main():
                 num_simulations=args.mcts_sims,
                 num_parallel=args.mcts_par,
                 tree_reuse=args.mcts_reuse or False,
-                pass_min_stones=pass_min,
-                value_bootstrap=args.value_bootstrap,
+                pass_min_stones=pass_min, **vb,
             )
         elif args.search_k > 0:
             final, batch = selfplay_search_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 num_sampled=args.search_k,
-                pass_min_stones=pass_min,
-                value_bootstrap=args.value_bootstrap,
+                pass_min_stones=pass_min, **vb,
             )
         else:
             final, batch = selfplay_rollout(
                 key, states, params, net.apply, args.rollout_steps, env_cfg,
                 temperature=args.temperature,
-                pass_min_stones=pass_min,
-                value_bootstrap=args.value_bootstrap,
+                pass_min_stones=pass_min, **vb,
             )
         t, b = batch.value_target.shape
         flat_obs = batch.obs.reshape(t * b, *batch.obs.shape[2:])
@@ -233,12 +240,16 @@ def main():
 
     from gymgo_tpu.utils import checkpoint as ckpt
 
-    if args.checkpoint_every and not args.checkpoint:
-        print("warning: --checkpoint-every has no effect without --checkpoint",
-              flush=True)
+    if (args.checkpoint_every or args.snapshot_every) and not args.checkpoint:
+        print("warning: --checkpoint-every/--snapshot-every have no effect "
+              "without --checkpoint", flush=True)
 
     states = batch_init_state(args.envs, args.board)
     start_iter = 0
+    # Frozen target network for --value-bootstrap: a hard copy of the
+    # online params, refreshed every --target-update iterations.  Kept
+    # even when bootstrap is off so the checkpoint tree has one shape.
+    target_params = params
 
     def ckpt_tree():
         return {
@@ -249,10 +260,19 @@ def main():
             "env_states": states,
             "key": key,
             "iteration": jnp.asarray(start_iter),
+            "target_params": target_params,
         }
 
     if args.resume:
-        data = ckpt.restore_npz(args.resume, ckpt_tree())
+        import numpy as np
+
+        tmpl = ckpt_tree()
+        # Checkpoints written before the frozen-target change lack the
+        # target_params entry; resume them with target := online params.
+        if not any(k.startswith("target_params::")
+                   for k in np.load(args.resume).files):
+            tmpl.pop("target_params")
+        data = ckpt.restore_npz(args.resume, tmpl)
         train_state = train_state._replace(
             params=data["params"], opt_state=data["opt_state"],
             step=jnp.asarray(data["step"]),
@@ -261,17 +281,25 @@ def main():
         states = jnp.asarray(data["env_states"])
         key = jnp.asarray(data["key"])
         start_iter = int(data["iteration"])
+        target_params = data.get("target_params", train_state.params)
         print(f"resumed from {args.resume} at iteration {start_iter}", flush=True)
 
     def save(it_done):
         nonlocal start_iter
         start_iter = it_done
         ckpt.save_npz(args.checkpoint, ckpt_tree())
+        if args.snapshot_every and it_done % args.snapshot_every == 0:
+            base = args.checkpoint
+            stem = base[:-4] if base.endswith(".npz") else base
+            ckpt.save_npz(f"{stem}_iter{it_done}.npz", ckpt_tree())
 
     meter = Meter()
     for it in range(start_iter, args.iters):
+        if args.value_bootstrap and it % max(args.target_update, 1) == 0:
+            target_params = train_state.params
         key, sp_key, lr_key = jax.random.split(key, 3)
-        states, obs, pi, v, mask = selfplay_iter(sp_key, states, train_state.params)
+        states, obs, pi, v, mask = selfplay_iter(
+            sp_key, states, train_state.params, target_params)
         if args.augment:
             key, aug_key = jax.random.split(key)
             obs, pi = jax.jit(augment_symmetries)(aug_key, obs, pi)
@@ -294,10 +322,9 @@ def main():
                 f"{int(res.ties)}T, {int(res.unfinished)} unfinished)",
                 flush=True,
             )
-        if (
-            args.checkpoint
-            and args.checkpoint_every
-            and (it + 1) % args.checkpoint_every == 0
+        due = lambda every: every and (it + 1) % every == 0
+        if args.checkpoint and (
+            due(args.checkpoint_every) or due(args.snapshot_every)
         ):
             save(it + 1)
             print(f"  checkpoint saved at iteration {it + 1}", flush=True)
