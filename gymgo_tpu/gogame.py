@@ -78,6 +78,22 @@ def next_state(state, action1d, canonical=False):
     return out[0]
 
 
+def _next_state_with_areas(state, action1d):
+    """Internal (GoEnv fast path): like :func:`next_state` but also returns
+    the step's own fused Trump-Taylor areas ``(black, white)`` so the
+    heuristic/real reward does not pay a second device round trip to
+    recompute what the kernel already produced (the step computes areas
+    for free — core/step.py fused claim bits)."""
+    dev = _to_device(np.asarray(state)[None])
+    acts = jnp.asarray(np.asarray([action1d]), dtype=jnp.int32)
+    new_states, info = _step_states(dev, acts)
+    bad = np.asarray(info.invalid_action)
+    assert not bad.any(), ("Invalid move", np.nonzero(bad)[0].tolist())
+    areas = (int(np.asarray(info.black_area)[0]),
+             int(np.asarray(info.white_area)[0]))
+    return _to_host(new_states)[0], areas
+
+
 def batch_next_states(batch_states, batch_action1d, canonical=False):
     dev = _to_device(batch_states)
     acts = jnp.asarray(np.asarray(batch_action1d), dtype=jnp.int32)

