@@ -201,7 +201,16 @@ def main():
         # the stored per-row mask already gates both loss terms (az_loss);
         # rows keep their raw targets so replay stays self-describing
         flat_v = batch.value_target.reshape(t * b)
-        return final, flat_obs, flat_pi, flat_v, batch.mask.reshape(t * b)
+        # Diagnostic: fraction of rows whose game ENDS inside the window
+        # (grounded +-1 value targets).  The complement is the truncated
+        # tail — under --value-bootstrap those rows' targets are the frozen
+        # target net's predictions, which the online net matches almost for
+        # free, so TOTAL v-loss stops signalling collapse; this number says
+        # how much of the v-loss is real.
+        done = batch.done.astype(jnp.int32)
+        grounded = jnp.flip(jnp.cumsum(jnp.flip(done, 0), 0), 0) > 0
+        gfrac = jnp.mean(grounded.astype(jnp.float32))
+        return final, flat_obs, flat_pi, flat_v, batch.mask.reshape(t * b), gfrac
 
     @jax.jit
     def learn_iter(train_state, buf_state, key):
@@ -298,7 +307,7 @@ def main():
         if args.value_bootstrap and it % max(args.target_update, 1) == 0:
             target_params = train_state.params
         key, sp_key, lr_key = jax.random.split(key, 3)
-        states, obs, pi, v, mask = selfplay_iter(
+        states, obs, pi, v, mask, gfrac = selfplay_iter(
             sp_key, states, train_state.params, target_params)
         if args.augment:
             key, aug_key = jax.random.split(key)
@@ -310,6 +319,7 @@ def main():
             f"iter {it}: loss={float(metrics['loss']):.4f} "
             f"pi={float(metrics['policy_loss']):.4f} "
             f"v={float(metrics['value_loss']):.4f} "
+            f"grounded={float(gfrac):.2f} "
             f"replay={int(buf_state.filled)} env-steps/s={sps:,.0f}",
             flush=True,
         )
