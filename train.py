@@ -287,7 +287,16 @@ def main():
             step=jnp.asarray(data["step"]),
         )
         buf_state = data["buf"]
-        states = jnp.asarray(data["env_states"])
+        resumed_states = jnp.asarray(data["env_states"])
+        if resumed_states.shape == states.shape:
+            states = resumed_states
+        else:
+            # Resuming with a different --envs (e.g. moving to the measured
+            # search-optimum batch): params/optimizer/replay carry over,
+            # env populations restart from empty boards.
+            print(f"note: --envs {args.envs} != checkpoint "
+                  f"{resumed_states.shape[0]}; env states reset fresh",
+                  flush=True)
         key = jnp.asarray(data["key"])
         start_iter = int(data["iteration"])
         target_params = data.get("target_params", train_state.params)
