@@ -28,11 +28,16 @@ def make_train_state(params, learning_rate=1e-3, weight_decay=1e-4):
                       step=jnp.zeros((), jnp.int32)), tx
 
 
-def az_loss(params, apply_fn, obs, policy_target, value_target, mask):
+def az_loss(params, apply_fn, obs, policy_target, value_target, mask,
+            value_mask=None):
     """Masked cross-entropy on the policy + MSE on the value head.
 
     obs: (M, 6, N, N) canonical states; targets as in SelfPlayBatch, with
-    leading dims flattened to M.
+    leading dims flattened to M.  ``value_mask`` (optional, (M,) bool)
+    additionally gates ONLY the value term — rows of a truncated game tail
+    can then train the policy while contributing no value gradient
+    (--value-grounded-only: the measured-sound regime when windows cover a
+    small fraction of a game and bootstrap targets drift to a constant).
     """
     logits, value = apply_fn(params, obs)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -43,17 +48,20 @@ def az_loss(params, apply_fn, obs, policy_target, value_target, mask):
     m = mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     pi_loss = jnp.sum(pi_loss * m) / denom
-    v_loss = jnp.sum(v_loss * m) / denom
+    vm = m if value_mask is None else m * value_mask.astype(jnp.float32)
+    v_denom = jnp.maximum(jnp.sum(vm), 1.0)
+    v_loss = jnp.sum(v_loss * vm) / v_denom
     return pi_loss + v_loss, (pi_loss, v_loss)
 
 
 def train_step(state: TrainState, tx, apply_fn, batch):
     """One SGD update.  ``batch`` = (obs, policy_target, value_target, mask)
-    with flattened leading dim."""
-    obs, pi_t, v_t, mask = batch
+    or the same plus a trailing value_mask, flattened leading dim."""
+    obs, pi_t, v_t, mask, *rest = batch
+    vmask = rest[0] if rest else None
     grad_fn = jax.value_and_grad(az_loss, has_aux=True)
     (loss, (pi_loss, v_loss)), grads = grad_fn(
-        state.params, apply_fn, obs, pi_t, v_t, mask
+        state.params, apply_fn, obs, pi_t, v_t, mask, vmask
     )
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)

@@ -31,6 +31,9 @@ class SelfPlayBatch(NamedTuple):
     mask: jax.Array  # bool (T, B): step was part of a live game
     mover_white: jax.Array | None = None  # bool (T, B): white made this move
     done: jax.Array | None = None  # bool (T, B): game ended AT this step
+    grounded: jax.Array | None = None  # bool (T, B): this row's game ENDS
+    # inside the window, i.e. its value target is a real terminal outcome
+    # (the complement is the truncated tail: area-sign noise or a bootstrap)
 
 
 def per_game_value_targets(done, sign, final_states, mover_white, komi,
@@ -182,9 +185,11 @@ def selfplay_rollout(
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
+    grounded = jnp.flip(
+        jnp.cumsum(jnp.flip(done.astype(jnp.int32), 0), 0), 0) > 0
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
-        mover_white=mover_white, done=done,
+        mover_white=mover_white, done=done, grounded=grounded,
     )
 
 
@@ -234,9 +239,11 @@ def selfplay_search_rollout(
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
+    grounded = jnp.flip(
+        jnp.cumsum(jnp.flip(done.astype(jnp.int32), 0), 0), 0) > 0
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
-        mover_white=mover_white, done=done,
+        mover_white=mover_white, done=done, grounded=grounded,
     )
 
 
@@ -357,9 +364,11 @@ def selfplay_mcts_rollout(
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
+    grounded = jnp.flip(
+        jnp.cumsum(jnp.flip(done.astype(jnp.int32), 0), 0), 0) > 0
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
-        mover_white=mover_white, done=done,
+        mover_white=mover_white, done=done, grounded=grounded,
     )
 
 
@@ -410,7 +419,9 @@ def selfplay_gumbel_rollout(
           if value_bootstrap else None)
     z = per_game_value_targets(done, sign, final_states, mover_white,
                                config.komi, z_final=zf)
+    grounded = jnp.flip(
+        jnp.cumsum(jnp.flip(done.astype(jnp.int32), 0), 0), 0) > 0
     return final_states, SelfPlayBatch(
         obs=obs, policy_target=probs, value_target=z, mask=live,
-        mover_white=mover_white, done=done,
+        mover_white=mover_white, done=done, grounded=grounded,
     )

@@ -268,9 +268,11 @@ def test_replay_buffer_wraps_and_samples():
     m2 = jnp.array([True, False, True, True, True, False])
     bs = buf.add(bs, obs * 2, pi, -v, m2)
     assert int(bs.filled) == 10 and int(bs.cursor) == 2
-    o, p, val, mask = buf.sample(bs, jax.random.PRNGKey(0), 8)
+    o, p, val, mask, vmask = buf.sample(bs, jax.random.PRNGKey(0), 8)
     assert o.shape == (8, 6, 5, 5)
     assert mask.shape == (8,) and mask.dtype == jnp.bool_
+    # add() without vmask mirrors mask: every live row value-supervised
+    assert vmask.shape == (8,) and bool(jnp.all(vmask == mask))
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -329,3 +331,48 @@ def test_match_play_search_beats_random():
     finished = int(res.policy_a_wins) + int(res.policy_b_wins) + int(res.ties)
     assert finished >= 16
     assert float(res.a_winrate) >= 0.5, res
+
+
+def test_value_mask_gates_only_value_loss():
+    """az_loss value_mask: excluded rows contribute zero value gradient but
+    full policy loss — the --value-grounded-only contract."""
+    net, params, netcfg = _small_net(5)
+    m = 6
+    # non-zero identical obs: zero boards give exactly v=0 (zero-init
+    # biases), the one value where gated and full means coincide
+    obs = jnp.zeros((m, 6, 5, 5), jnp.int8).at[:, 0, 2, 2].set(1)
+    pi_t = jnp.ones((m, 26)) / 26
+    v_t = jnp.ones((m,))
+    mask = jnp.ones((m,), bool)
+    vmask = jnp.array([True, True, False, False, False, False])
+    full, (pi_f, v_f) = az_loss(params, net.apply, obs, pi_t, v_t, mask)
+    gated, (pi_g, v_g) = az_loss(params, net.apply, obs, pi_t, v_t, mask,
+                                 vmask)
+    assert float(pi_g) == float(pi_f)  # policy term untouched
+    # identical rows => per-row v_loss equal; the gated mean equals the
+    # full mean here, but against a varying target it must differ:
+    v_t2 = jnp.array([1., 1., -1., -1., -1., -1.])
+    _, (_, v_full2) = az_loss(params, net.apply, obs, pi_t, v_t2, mask)
+    _, (_, v_gate2) = az_loss(params, net.apply, obs, pi_t, v_t2, mask,
+                              vmask)
+    # gated sees only the +1 rows; full sees mostly -1 rows
+    assert abs(float(v_gate2) - float(v_full2)) > 1e-3
+    per_row_plus = float(jnp.square(net.apply(params, obs)[1][0] - 1.0))
+    assert abs(float(v_gate2) - per_row_plus) < 1e-5
+
+
+def test_selfplay_grounded_flags_match_done_suffix():
+    """batch.grounded is True exactly up to each env's LAST done row."""
+    net, params, netcfg = _small_net(5)
+    env_cfg = EnvConfig(board_size=5, batch_size=4, auto_reset=True)
+    states = _state.batch_init_state(4, 5)
+    _, batch = jax.jit(
+        lambda k, s, p: selfplay_rollout(k, s, p, net.apply, 50, env_cfg)
+    )(jax.random.PRNGKey(9), states, params)
+    done = np.asarray(batch.done)
+    g = np.asarray(batch.grounded)
+    T, B = done.shape
+    for b in range(B):
+        ends = np.flatnonzero(done[:, b])
+        last = ends.max() if ends.size else -1
+        np.testing.assert_array_equal(g[:, b], np.arange(T) <= last)

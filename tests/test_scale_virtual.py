@@ -40,6 +40,6 @@ def test_replay_feed_from_sharded_rollout():
     v = jnp.zeros((obs.shape[0],))
     bs = jax.jit(buf.add)(bs, obs, pi, v)
     assert int(bs.filled) == 512
-    o, p, val, mask = buf.sample(bs, jax.random.PRNGKey(2), 32)
+    o, p, val, mask, vmask = buf.sample(bs, jax.random.PRNGKey(2), 32)
     assert o.shape == (32, 6, 9, 9)
     assert bool(jnp.all(mask))  # add() without mask marks rows live

@@ -74,6 +74,16 @@ def main():
     ap.add_argument("--target-update", type=int, default=8,
                     help="iterations between hard online->target copies for "
                          "--value-bootstrap's frozen target network")
+    ap.add_argument("--value-grounded-only", action="store_true",
+                    help="truncated-tail rows train the POLICY only: their "
+                         "value targets are excluded from the loss instead "
+                         "of estimated (area-sign or bootstrap).  The "
+                         "measured-sound choice when windows cover a small "
+                         "fraction of a game: even the frozen-target "
+                         "bootstrap drifts to a constant value head over "
+                         "hundreds of 19x19 iterations (BENCHMARKS.md "
+                         "round-3 postmortem); with this flag the value "
+                         "head sees only real +-1 outcomes")
     ap.add_argument("--snapshot-every", type=int, default=0,
                     help=">0: with --checkpoint PATH.npz, also save immutable "
                          "snapshots PATH_iterK.npz every K iterations (Elo "
@@ -207,15 +217,20 @@ def main():
         # target net's predictions, which the online net matches almost for
         # free, so TOTAL v-loss stops signalling collapse; this number says
         # how much of the v-loss is real.
-        done = batch.done.astype(jnp.int32)
-        grounded = jnp.flip(jnp.cumsum(jnp.flip(done, 0), 0), 0) > 0
+        grounded = batch.grounded
         gfrac = jnp.mean(grounded.astype(jnp.float32))
-        return final, flat_obs, flat_pi, flat_v, batch.mask.reshape(t * b), gfrac
+        flat_vmask = (
+            (grounded & batch.mask).reshape(t * b)
+            if args.value_grounded_only else batch.mask.reshape(t * b)
+        )
+        return (final, flat_obs, flat_pi, flat_v,
+                batch.mask.reshape(t * b), flat_vmask, gfrac)
 
     @jax.jit
     def learn_iter(train_state, buf_state, key):
-        obs, pi, v, mask = buf.sample(buf_state, key, args.train_batch)
-        return train_step(train_state, tx, net.apply, (obs, pi, v, mask))
+        obs, pi, v, mask, vmask = buf.sample(buf_state, key, args.train_batch)
+        return train_step(train_state, tx, net.apply,
+                          (obs, pi, v, mask, vmask))
 
     from gymgo_tpu.core.actions import uniform_random_actions
     from gymgo_tpu.rl import (
@@ -276,17 +291,31 @@ def main():
         import numpy as np
 
         tmpl = ckpt_tree()
+        raw = np.load(args.resume)
         # Checkpoints written before the frozen-target change lack the
         # target_params entry; resume them with target := online params.
-        if not any(k.startswith("target_params::")
-                   for k in np.load(args.resume).files):
+        if not any(k.startswith("target_params::") for k in raw.files):
             tmpl.pop("target_params")
+        # Checkpoints written before the vmask column (7-leaf ReplayState)
+        # restore through the old 6-leaf layout; vmask := mask (the old
+        # semantics: every live row value-supervised).
+        old_buf = int(raw["__len__buf"]) == 6
+        if old_buf:
+            b = tmpl["buf"]
+            tmpl["buf"] = (b.obs, b.policy, b.value, b.mask, b.cursor,
+                           b.filled)
         data = ckpt.restore_npz(args.resume, tmpl)
         train_state = train_state._replace(
             params=data["params"], opt_state=data["opt_state"],
             step=jnp.asarray(data["step"]),
         )
-        buf_state = data["buf"]
+        if old_buf:
+            o, p, v, m, cur, fil = data["buf"]
+            from gymgo_tpu.rl.replay import ReplayState
+            buf_state = ReplayState(obs=o, policy=p, value=v, mask=m,
+                                    vmask=m, cursor=cur, filled=fil)
+        else:
+            buf_state = data["buf"]
         resumed_states = jnp.asarray(data["env_states"])
         if resumed_states.shape == states.shape:
             states = resumed_states
@@ -316,12 +345,12 @@ def main():
         if args.value_bootstrap and it % max(args.target_update, 1) == 0:
             target_params = train_state.params
         key, sp_key, lr_key = jax.random.split(key, 3)
-        states, obs, pi, v, mask, gfrac = selfplay_iter(
+        states, obs, pi, v, mask, vmask, gfrac = selfplay_iter(
             sp_key, states, train_state.params, target_params)
         if args.augment:
             key, aug_key = jax.random.split(key)
             obs, pi = jax.jit(augment_symmetries)(aug_key, obs, pi)
-        buf_state = jax.jit(buf.add)(buf_state, obs, pi, v, mask)
+        buf_state = jax.jit(buf.add)(buf_state, obs, pi, v, mask, vmask)
         train_state, metrics = learn_iter(train_state, buf_state, lr_key)
         sps = meter.update(args.envs * args.rollout_steps)
         print(
