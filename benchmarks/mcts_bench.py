@@ -57,13 +57,18 @@ def main():
             import subprocess
             out = subprocess.run(sub, capture_output=True, text=True,
                                  timeout=3600)
-            line = [ln for ln in out.stdout.splitlines() if "decisions/s" in ln]
-            if not line:
-                log(f"B={bsz} FAILED:\n{out.stderr[-2000:]}")
+            import json
+            jline = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("BENCHJSON ")]
+            if not jline:
+                log(f"B={bsz} FAILED (no BENCHJSON line):\n"
+                    f"{out.stderr[-2000:]}")
                 continue
-            ms = float(line[0].split(";")[1].strip().split(" ")[0])
+            rec = json.loads(jline[0][len("BENCHJSON "):])
+            ms = float(rec["ms_per_search"])
             rows.append((bsz, ms))
-            log(f"B={bsz}: {line[0]}")
+            log(f"B={bsz}: {ms:.1f} ms/search, "
+                f"{rec['decisions_per_s']:,.0f} decisions/s")
         if rows:
             b0, ms0 = rows[0]
             print(f"{args.search} {args.board}x{args.board} {args.sims} sims "
@@ -154,6 +159,12 @@ def main():
               f"({b * args.sims / dt:,.0f} sims/s; {dt * 1e3:.1f} ms per "
               f"{b}-env search, {args.sims} sims"
               + (f", par={args.par}" if name == "puct" else "") + ")")
+        # machine-readable line for --batch-sweep (and any other harness):
+        # parsing the human format silently breaks when it changes
+        import json
+        print("BENCHJSON " + json.dumps(
+            {"search": name, "batch": b, "sims": args.sims,
+             "ms_per_search": dt * 1e3, "decisions_per_s": b / dt}))
 
 
 if __name__ == "__main__":

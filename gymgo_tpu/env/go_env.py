@@ -87,6 +87,10 @@ class GoEnv(_ENV_BASE):
             np.random.seed(seed)
         self.state_ = gogame.init_state(self.size)
         self.done = False
+        # the _areas cache is identity-keyed on state_; invalidate it
+        # explicitly so the invariant is local, not reliant on the fresh
+        # state_ object never aliasing a cached one
+        self._fused_areas = None
         return np.copy(self.state_)
 
     def step(self, action):

@@ -1,0 +1,214 @@
+"""Model surgery: value-head re-initialization and function-preserving
+Net2Net widening/deepening of the AZ trunk.
+
+Two production uses (round-4 roadmap, VERDICT.md):
+
+* ``reinit_value_head`` — recover from a collapsed value head without
+  discarding the policy trunk: the head params (Conv_2 / Dense_1 /
+  Dense_2 in the flax name order of models.az_net.AZNet) are replaced by
+  a fresh init and their Adam moments zeroed, while trunk + policy head
+  continue training in place.  The reference has no trainable value
+  function (its reward is the terminal area sign,
+  gym_go/envs/go_env.py:128-149); this repairs the rebuild's analog.
+
+* ``widen_deepen`` — grow a trained net to the flagship capacity
+  (e.g. 64ch x 3 blocks -> 128ch x 6) so training continues FROM the
+  parent's strength instead of from scratch (Net2Net, Chen et al. 2015,
+  arXiv:1511.05641).  Function preservation under GroupNorm requires the
+  group-aware duplication below; new depth comes from residual blocks
+  whose second conv is zero (exact identities through ``relu(x + 0)``).
+
+Widening map (channels C -> r*C, GroupNorm with G groups, group size
+gs = C/G): new channel ``g*r*gs + q`` copies old channel ``g*gs + q%gs``,
+i.e. each group is [originals..., copies...].  Duplicating values within
+a group leaves the group's mean/variance unchanged, so GroupNorm emits
+the duplicated outputs exactly; consumers then split each old input
+weight as 1/r across the r copies, reproducing the original
+pre-activations.  Exact duplicates would receive identical gradients
+forever (no capacity gain), so the copies' incoming weights are
+perturbed by a small relative noise (``noise_scale``) — symmetry breaks,
+the function moves only O(noise).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gymgo_tpu.models.az_net import AZNetConfig, init_params
+
+# Flax assigns these names in AZNet.__call__ order: Conv_0/GroupNorm_0 =
+# stem, Conv_1/Dense_0 = policy head, Conv_2/Dense_1/Dense_2 = value head.
+VALUE_HEAD_KEYS = ("Conv_2", "Dense_1", "Dense_2")
+
+
+def reinit_value_head(params, key: jax.Array, config: AZNetConfig):
+    """Return ``params`` with the value-head subtrees freshly initialized."""
+    fresh = init_params(key, config)
+    inner = dict(params["params"])
+    for k in VALUE_HEAD_KEYS:
+        inner[k] = fresh["params"][k]
+    return {"params": inner}
+
+
+def zero_moments_for(opt_state, params, keys=VALUE_HEAD_KEYS):
+    """Zero optimizer moment entries (any opt-state field whose pytree
+    structure matches ``params``, e.g. Adam mu/nu) for the given top-level
+    parameter subtrees.  Counts/scalars are left untouched."""
+    pdef = jax.tree_util.tree_structure(params)
+
+    def zero_heads(tree):
+        inner = dict(tree["params"])
+        for k in keys:
+            inner[k] = jax.tree_util.tree_map(jnp.zeros_like, inner[k])
+        return {"params": inner}
+
+    def fix(s):
+        try:
+            if jax.tree_util.tree_structure(s) == pdef:
+                return zero_heads(s)
+        except Exception:
+            pass
+        if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
+            return type(s)(*[fix(v) for v in s])
+        if isinstance(s, tuple):
+            return tuple(fix(v) for v in s)
+        if isinstance(s, list):
+            return [fix(v) for v in s]
+        return s
+
+    return fix(opt_state)
+
+
+def _dup_index(old_c: int, new_c: int, groups: int) -> jnp.ndarray:
+    """src[j] = old channel copied into new channel j (group-aware)."""
+    assert new_c % old_c == 0 and old_c % groups == 0
+    r = new_c // old_c
+    gs = old_c // groups
+    g = jnp.arange(new_c) // (r * gs)
+    q = jnp.arange(new_c) % (r * gs)
+    return (g * gs + q % gs).astype(jnp.int32)
+
+
+def _widen_out(w, src):
+    """Duplicate the trailing (output-channel) axis along ``src``."""
+    return jnp.take(w, src, axis=-1)
+
+
+def _copy_mask(old_c: int, new_c: int, groups: int) -> jnp.ndarray:
+    """True at new-channel positions that are duplicates (q >= gs within
+    each widened group), matching the _dup_index layout."""
+    r = new_c // old_c
+    gs = old_c // groups
+    q = jnp.arange(new_c) % (r * gs)
+    return q >= gs
+
+
+def _widen_in(w, src, r, key, noise_scale, copy_mask):
+    """Split axis -2 (input channels) 1/r across duplicates; perturb the
+    copies' weights by small relative noise to break gradient symmetry."""
+    w2 = jnp.take(w, src, axis=-2) / r
+    if noise_scale > 0.0:
+        shape = [1] * w2.ndim
+        shape[-2] = w2.shape[-2]
+        mask = copy_mask.reshape(shape)
+        noise = jax.random.normal(key, w2.shape, w2.dtype) * noise_scale
+        rms = jnp.sqrt(jnp.mean(jnp.square(w2)) + 1e-12)
+        w2 = w2 + jnp.where(mask, noise * rms, 0.0)
+    return w2
+
+
+def widen_deepen(
+    params,
+    old_config: AZNetConfig,
+    new_config: AZNetConfig,
+    key: jax.Array,
+    noise_scale: float = 1e-2,
+):
+    """Net2Net: map AZNet params at ``old_config`` to ``new_config``
+    (same board; channels may grow by an integer factor; blocks may grow).
+    The returned params compute (approximately, to ``noise_scale``) the
+    same function as the parent."""
+    oc, nc = old_config.channels, new_config.channels
+    assert new_config.board_size == old_config.board_size
+    assert nc % oc == 0, "channel growth must be an integer factor"
+    assert new_config.blocks >= old_config.blocks
+    r = nc // oc
+    groups = 8  # nn.GroupNorm(num_groups=8) throughout az_net
+    src = _dup_index(oc, nc, groups)
+    cmask = _copy_mask(oc, nc, groups)
+    keys = iter(jax.random.split(key, 64))
+
+    old = params["params"]
+    fresh = init_params(next(keys), new_config)["params"]
+    new = {}
+
+    def widen_gn(gn):
+        return {"scale": _widen_out(gn["scale"], src),
+                "bias": _widen_out(gn["bias"], src)}
+
+    if r > 1:
+        # Stem: input channels (6 board planes) unchanged, outputs duplicated.
+        new["Conv_0"] = {"kernel": _widen_out(old["Conv_0"]["kernel"], src)}
+        new["GroupNorm_0"] = widen_gn(old["GroupNorm_0"])
+    else:
+        new["Conv_0"] = old["Conv_0"]
+        new["GroupNorm_0"] = old["GroupNorm_0"]
+
+    for b in range(old_config.blocks):
+        blk = old[f"ResBlock_{b}"]
+        if r > 1:
+            k0 = _widen_in(blk["Conv_0"]["kernel"], src, r, next(keys),
+                           noise_scale, cmask)
+            k1 = _widen_in(blk["Conv_1"]["kernel"], src, r, next(keys),
+                           noise_scale, cmask)
+            new[f"ResBlock_{b}"] = {
+                "Conv_0": {"kernel": _widen_out(k0, src)},
+                "GroupNorm_0": widen_gn(blk["GroupNorm_0"]),
+                "Conv_1": {"kernel": _widen_out(k1, src)},
+                "GroupNorm_1": widen_gn(blk["GroupNorm_1"]),
+            }
+        else:
+            new[f"ResBlock_{b}"] = blk
+
+    # New depth: identity residual blocks — first conv fresh (gradients
+    # flow immediately), second conv zero; GroupNorm of an all-zero input
+    # emits its bias, which flax initializes to zero, so h == 0 exactly
+    # and relu(x + 0) == x (x is already post-relu, hence non-negative).
+    for b in range(old_config.blocks, new_config.blocks):
+        fb = fresh[f"ResBlock_{b}"]
+        new[f"ResBlock_{b}"] = {
+            "Conv_0": fb["Conv_0"],
+            "GroupNorm_0": fb["GroupNorm_0"],
+            "Conv_1": {"kernel": jnp.zeros_like(fb["Conv_1"]["kernel"])},
+            "GroupNorm_1": fb["GroupNorm_1"],
+        }
+
+    # Heads: 1x1 convs consume the duplicated trunk (split 1/r); their
+    # output widths are config-independent, biases carry over.
+    for conv in ("Conv_1", "Conv_2"):
+        k = old[conv]["kernel"]
+        if r > 1:
+            k = _widen_in(k, src, r, next(keys), noise_scale, cmask)
+        new[conv] = {"kernel": k, "bias": old[conv]["bias"]}
+    new["Dense_0"] = old["Dense_0"]  # policy: flat width is N*N*pc, fixed
+
+    # Value MLP hidden width follows cfg.channels: duplicate hidden units
+    # (plain duplication — no normalizer in the MLP), split Dense_2 1/r.
+    d1, d2 = old["Dense_1"], old["Dense_2"]
+    if r > 1:
+        hsrc = jnp.tile(jnp.arange(oc, dtype=jnp.int32), r)
+        kd1 = jnp.take(d1["kernel"], hsrc, axis=-1)
+        if noise_scale > 0.0:
+            is_copy = (jnp.arange(nc) >= oc).reshape(1, nc)
+            noise = jax.random.normal(next(keys), kd1.shape, kd1.dtype)
+            rms = jnp.sqrt(jnp.mean(jnp.square(kd1)) + 1e-12)
+            kd1 = kd1 + jnp.where(is_copy, noise * noise_scale * rms, 0.0)
+        new["Dense_1"] = {"kernel": kd1,
+                          "bias": jnp.take(d1["bias"], hsrc, axis=-1)}
+        new["Dense_2"] = {"kernel": jnp.take(d2["kernel"], hsrc, axis=0) / r,
+                          "bias": d2["bias"]}
+    else:
+        new["Dense_1"], new["Dense_2"] = d1, d2
+
+    return {"params": new}

@@ -36,15 +36,29 @@ def play_match(
     config: EnvConfig,
     num_games: int,
     max_steps: int,
+    opening_moves: int = 0,
+    with_states: bool = False,
 ) -> MatchResult:
     """Play ``num_games`` games; policy_a is black in even-index games and
     white in odd-index games.  Policies: ``fn(key, states) -> actions``.
     Finished games freeze (no auto-reset), so one scan plays all games out.
+
+    ``opening_moves`` > 0 forces the first k plies to uniform-random legal
+    BOARD moves, with the same random opening shared by each color-swapped
+    pair (games 2i and 2i+1): every opening is played once with A as black
+    and once with A as white.  Without it, two deterministic-ish search
+    policies replay near-identical game families from the empty board and
+    head-to-head results measure style lock, not strength (the measured
+    13x13 ladder non-transitivity, BENCHMARKS.md) — opening diversity is
+    the standard fix (cf. computer-Go match practice).
     """
     states = _state.batch_init_state(num_games, config.board_size)
     a_is_black = (jnp.arange(num_games) % 2) == 0
+    key, opening_key = jax.random.split(key)
+    pair_ids = jnp.arange(num_games) // 2
+    n = config.board_size
 
-    def body(carry, _):
+    def body(carry, t):
         st, k = carry
         k, ka, kb = jax.random.split(k, 3)
         acts_a = policy_a(ka, st)
@@ -52,10 +66,24 @@ def play_match(
         black_to_move = _state.turn(st) == 0
         a_to_move = black_to_move == a_is_black
         acts = jnp.where(a_to_move, acts_a, acts_b)
+        if opening_moves > 0:
+            # per-(step, pair) keys: paired games draw identical gumbel
+            # noise over identical boards, so their openings coincide
+            step_key = jax.random.fold_in(opening_key, t)
+            pair_keys = jax.vmap(
+                lambda i: jax.random.fold_in(step_key, i))(pair_ids)
+            g = jax.vmap(
+                lambda kk: jax.random.gumbel(kk, (n * n,)))(pair_keys)
+            from gymgo_tpu.core import actions as _actions_mod
+            vm = _actions_mod.batch_valid_moves(st)[:, :-1] > 0
+            forced = jnp.argmax(
+                jnp.where(vm, g, -jnp.inf), axis=1).astype(acts.dtype)
+            acts = jnp.where(t < opening_moves, forced, acts)
         st, _ = _step.step_states(st, acts)
         return (st, k), ()
 
-    (final_states, _), _ = lax.scan(body, (states, key), None, length=max_steps)
+    (final_states, _), _ = lax.scan(
+        body, (states, key), jnp.arange(max_steps))
 
     done = _state.game_ended(final_states)
     sign_black = _score.winning(final_states, config.komi)
@@ -65,13 +93,16 @@ def play_match(
     ties = jnp.sum((done & (a_sign == 0)).astype(jnp.int32))
     unfinished = jnp.sum((~done).astype(jnp.int32))
     finished = jnp.maximum(a_wins + b_wins + ties, 1)
-    return MatchResult(
+    result = MatchResult(
         policy_a_wins=a_wins,
         policy_b_wins=b_wins,
         ties=ties,
         unfinished=unfinished,
         a_winrate=a_wins.astype(jnp.float32) / finished,
     )
+    if with_states:
+        return result, final_states
+    return result
 
 
 def with_pass_to_win(policy_fn, komi: float = 0.0):

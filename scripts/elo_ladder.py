@@ -78,6 +78,18 @@ def main():
                          "sequential GTP games — the TPU-speed path for "
                          "big-board ladders; truncated games count as ties "
                          "like the GTP path")
+    ap.add_argument("--opening-moves", type=int, default=0,
+                    help=">0 (--batched only): force the first k plies to "
+                         "random board moves shared within each "
+                         "color-swapped pair — opening diversity so the "
+                         "ladder measures strength, not empty-board style "
+                         "lock (the measured cause-candidate for the 13x13 "
+                         "non-transitivity, BENCHMARKS.md)")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="--batched: max games per device batch; larger "
+                         "--games totals run as aggregated chunks (the "
+                         "19x19 two-net eval kernel-faulted at one "
+                         "256-game batch)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -176,7 +188,8 @@ def _batched_round_robin(args, names, specs):
         return ckpt.restore_npz(parts[1], tmpl)["params"], sims
 
     players = [parse(s) for s in specs]
-    cfg = EnvConfig(board_size=args.boardsize, batch_size=args.games,
+    chunk = min(args.chunk, args.games)
+    cfg = EnvConfig(board_size=args.boardsize, batch_size=chunk,
                     komi=args.komi, auto_reset=False)
     max_moves = 3 * args.boardsize * args.boardsize
 
@@ -191,7 +204,8 @@ def _batched_round_robin(args, names, specs):
     @functools.partial(jax.jit, static_argnames=("sims_a", "sims_b"))
     def match(key, pa, pb, sims_a, sims_b):
         return play_match(key, policy(pa, sims_a), policy(pb, sims_b),
-                          cfg, num_games=args.games, max_steps=max_moves)
+                          cfg, num_games=chunk, max_steps=max_moves,
+                          opening_moves=args.opening_moves)
 
     k = len(names)
     wins = [[0.0] * k for _ in range(k)]
@@ -201,17 +215,25 @@ def _batched_round_robin(args, names, specs):
     for i in range(k):
         for j in range(i + 1, k):
             (pa, sa), (pb, sb) = players[i], players[j]
-            key, sub = jax.random.split(key)
-            res = match(sub, pa, pb, sa, sb)
-            aw, bw = int(res.policy_a_wins), int(res.policy_b_wins)
-            tie = int(res.ties) + int(res.unfinished)  # truncation = tie
-            truncated += int(res.unfinished)
+            aw = bw = tie = trunc = 0
+            remaining = args.games
+            while remaining > 0:
+                key, sub = jax.random.split(key)
+                res = match(sub, pa, pb, sa, sb)
+                aw += int(res.policy_a_wins)
+                bw += int(res.policy_b_wins)
+                # truncation = tie, as in the GTP path
+                tie += int(res.ties) + int(res.unfinished)
+                trunc += int(res.unfinished)
+                remaining -= chunk
+            truncated += trunc
+            total = aw + bw + tie
             wins[i][j] += aw + 0.5 * tie
             wins[j][i] += bw + 0.5 * tie
-            games[i][j] += args.games
-            games[j][i] += args.games
+            games[i][j] += total
+            games[j][i] += total
             print(f"{names[i]} vs {names[j]}: {aw}W/{bw}L/{tie}T "
-                  f"({int(res.unfinished)} truncated)", flush=True)
+                  f"({trunc} truncated)", flush=True)
     return wins, games, truncated
 
 

@@ -44,6 +44,17 @@ def main():
     ap.add_argument("--sims", type=int, default=32)
     ap.add_argument("--gumbel-m", type=int, default=8)
     ap.add_argument("--games", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="games per device batch; requests larger than "
+                         "this run as multiple chunks aggregated host-side "
+                         "(the 19x19 two-net eval kernel-faulted the TPU "
+                         "worker at a single 256-game batch — chunking "
+                         "makes any --games total safe)")
+    ap.add_argument("--opening-moves", type=int, default=0,
+                    help=">0: force the first k plies to random board "
+                         "moves shared within each color-swapped game "
+                         "pair — opening diversity so head-to-heads "
+                         "measure strength, not empty-board style lock")
     ap.add_argument("--max-steps", type=int, default=0,
                     help="0 = auto (2.5 * board^2)")
     ap.add_argument("--komi", type=float, default=0.0)
@@ -83,15 +94,39 @@ def main():
         policy_b = lambda k, s: uniform_random_actions(k, s)  # noqa: E731
         b_name = "uniform-random"
 
-    cfg = EnvConfig(board_size=args.board, batch_size=args.games,
+    chunk = min(args.chunk, args.games)
+    cfg = EnvConfig(board_size=args.board, batch_size=chunk,
                     komi=args.komi, auto_reset=False)
     max_steps = args.max_steps or int(2.5 * args.board * args.board)
-    res = play_match(jax.random.PRNGKey(args.seed), policy_a, policy_b,
-                     cfg, num_games=args.games, max_steps=max_steps)
-    print(f"{args.ckpt} (gumbel-{args.sims}) vs {b_name}: "
-          f"{int(res.policy_a_wins)}W/{int(res.policy_b_wins)}L/"
-          f"{int(res.ties)}T, {int(res.unfinished)} unfinished, "
-          f"winrate={float(res.a_winrate):.3f}")
+
+    import jax as _jax
+
+    @_jax.jit
+    def run_chunk(key):
+        return play_match(key, policy_a, policy_b, cfg, num_games=chunk,
+                          max_steps=max_steps,
+                          opening_moves=args.opening_moves)
+
+    wins = losses = ties = unfinished = 0
+    remaining = args.games
+    ci = 0
+    while remaining > 0:
+        res = run_chunk(jax.random.fold_in(
+            jax.random.PRNGKey(args.seed), ci))
+        wins += int(res.policy_a_wins)
+        losses += int(res.policy_b_wins)
+        ties += int(res.ties)
+        unfinished += int(res.unfinished)
+        remaining -= chunk
+        ci += 1
+        if args.games > chunk:
+            print(f"  chunk {ci}: cumulative {wins}W/{losses}L/{ties}T "
+                  f"({unfinished} unfinished)", flush=True)
+    finished = max(wins + losses + ties, 1)
+    print(f"{args.ckpt} (gumbel-{args.sims}"
+          + (f", open-{args.opening_moves}" if args.opening_moves else "")
+          + f") vs {b_name}: {wins}W/{losses}L/{ties}T, "
+          f"{unfinished} unfinished, winrate={wins / finished:.3f}")
 
 
 if __name__ == "__main__":

@@ -376,3 +376,52 @@ def test_selfplay_grounded_flags_match_done_suffix():
         ends = np.flatnonzero(done[:, b])
         last = ends.max() if ends.size else -1
         np.testing.assert_array_equal(g[:, b], np.arange(T) <= last)
+
+
+def test_match_play_opening_moves_paired_and_diverse():
+    """opening_moves forces the first k plies to shared-per-pair random
+    board moves: games (2i, 2i+1) must hold IDENTICAL boards right after
+    the opening (color-swapped replays of one opening), while different
+    pairs get different openings."""
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.rl import play_match
+
+    n, games, k_open = 5, 8, 6
+    cfg = EnvConfig(board_size=5, batch_size=games)
+    pass_idx = jnp.int32(n * n)
+
+    def always_pass(key, states):
+        return jnp.full((states.shape[0],), pass_idx, jnp.int32)
+
+    # policies pass immediately after the opening -> games end at ply
+    # k_open + 2 and the final boards ARE the opening positions
+    _, finals = jax.jit(
+        lambda k: play_match(
+            k, always_pass, always_pass, cfg, num_games=games,
+            max_steps=k_open + 2, opening_moves=k_open, with_states=True,
+        )
+    )(jax.random.PRNGKey(5))
+    finals = np.asarray(finals)
+    boards = finals[:, :2]  # stone planes only (pass/turn planes differ)
+    for i in range(0, games, 2):
+        np.testing.assert_array_equal(boards[i], boards[i + 1])
+    distinct = {boards[i].tobytes() for i in range(0, games, 2)}
+    assert len(distinct) > 1  # different pairs, different openings
+    assert boards.sum(axis=(1, 2, 3)).min() == k_open  # k stones played
+
+
+def test_match_play_opening_moves_result_sane():
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.rl import play_match
+
+    cfg = EnvConfig(board_size=5, batch_size=16)
+    res = jax.jit(
+        lambda k: play_match(
+            k, uniform_random_actions, uniform_random_actions, cfg,
+            num_games=16, max_steps=120, opening_moves=4,
+        )
+    )(jax.random.PRNGKey(0))
+    total = int(res.policy_a_wins) + int(res.policy_b_wins) + int(res.ties)
+    assert total + int(res.unfinished) == 16
+    assert total >= 12

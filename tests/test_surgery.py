@@ -1,0 +1,134 @@
+"""Model-surgery tests: value-head reinit and Net2Net widen/deepen.
+
+Function preservation is the contract: a widened+deepened net must
+compute (to noise_scale / dtype tolerance) the same policy and value as
+its parent, so training continues FROM the parent's strength."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymgo_tpu.core.state import batch_init_state
+from gymgo_tpu.env.batch_env import rollout
+from gymgo_tpu.config import EnvConfig
+from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+from gymgo_tpu.models.surgery import (
+    VALUE_HEAD_KEYS,
+    reinit_value_head,
+    widen_deepen,
+    zero_moments_for,
+)
+
+
+def _boards(n=5, b=16, steps=12):
+    cfg = EnvConfig(board_size=n, batch_size=b, auto_reset=True)
+    return rollout(jax.random.PRNGKey(3), batch_init_state(b, n),
+                   steps, cfg).final_states
+
+
+@pytest.fixture(scope="module")
+def boards5():
+    return _boards()
+
+
+def test_reinit_value_head_keeps_policy(boards5):
+    cfg = AZNetConfig(board_size=5, channels=16, blocks=2)
+    net = AZNet(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    new = reinit_value_head(params, jax.random.PRNGKey(9), cfg)
+    p0, v0 = net.apply(params, boards5)
+    p1, v1 = net.apply(new, boards5)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert not np.allclose(np.asarray(v0), np.asarray(v1))
+    # trunk + policy head untouched
+    for k in params["params"]:
+        pairs = zip(jax.tree_util.tree_leaves(params["params"][k]),
+                    jax.tree_util.tree_leaves(new["params"][k]))
+        all_same = all(np.array_equal(np.asarray(a), np.asarray(b))
+                       for a, b in pairs)
+        # head keys must change (bias leaves are zero in both inits, so
+        # "all leaves equal" is the discriminator, not "first leaf")
+        assert all_same != (k in VALUE_HEAD_KEYS)
+
+
+def test_zero_moments_targets_only_head():
+    import optax
+
+    cfg = AZNetConfig(board_size=5, channels=16, blocks=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    # fake non-zero moments
+    opt = jax.tree_util.tree_map(lambda x: x + 1.0, opt)
+    fixed = zero_moments_for(opt, params)
+    adam = fixed[0]  # ScaleByAdamState
+    for k in params["params"]:
+        mu_leaf = jax.tree_util.tree_leaves(adam.mu["params"][k])[0]
+        if k in VALUE_HEAD_KEYS:
+            assert float(jnp.abs(mu_leaf).max()) == 0.0
+        else:
+            assert float(jnp.abs(mu_leaf).min()) > 0.0
+
+
+@pytest.mark.parametrize("new_ch,new_blocks", [(32, 2), (16, 4), (32, 4)])
+def test_widen_deepen_preserves_function_f32(boards5, new_ch, new_blocks):
+    old_cfg = AZNetConfig(board_size=5, channels=16, blocks=2,
+                          dtype=jnp.float32)
+    new_cfg = dataclasses.replace(old_cfg, channels=new_ch,
+                                  blocks=new_blocks)
+    params = init_params(jax.random.PRNGKey(1), old_cfg)
+    grown = widen_deepen(params, old_cfg, new_cfg, jax.random.PRNGKey(2),
+                         noise_scale=0.0)
+    p0, v0 = AZNet(old_cfg).apply(params, boards5)
+    p1, v1 = AZNet(new_cfg).apply(grown, boards5)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-4)
+
+
+def test_widen_deepen_bf16_with_noise_stays_close(boards5):
+    old_cfg = AZNetConfig(board_size=5, channels=16, blocks=2)  # bf16
+    new_cfg = dataclasses.replace(old_cfg, channels=32, blocks=4)
+    params = init_params(jax.random.PRNGKey(1), old_cfg)
+    grown = widen_deepen(params, old_cfg, new_cfg, jax.random.PRNGKey(2),
+                         noise_scale=1e-2)
+    p0, v0 = AZNet(old_cfg).apply(params, boards5)
+    p1, v1 = AZNet(new_cfg).apply(grown, boards5)
+    # bf16 activations + symmetry-breaking noise: behaviorally identical
+    # policies (same ranking almost everywhere), values within a few %.
+    agree = np.mean(
+        np.argmax(np.asarray(p0), -1) == np.argmax(np.asarray(p1), -1)
+    )
+    assert agree >= 0.9
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=0.1)
+
+
+def test_widen_deepen_noise_breaks_gradient_symmetry(boards5):
+    """Exact duplicates would get identical gradients forever; the noise
+    must make duplicated channels' gradients differ."""
+    import optax
+
+    from gymgo_tpu.rl.learner import az_loss
+
+    old_cfg = AZNetConfig(board_size=5, channels=16, blocks=1,
+                          dtype=jnp.float32)
+    new_cfg = dataclasses.replace(old_cfg, channels=32)
+    params = init_params(jax.random.PRNGKey(1), old_cfg)
+    grown = widen_deepen(params, old_cfg, new_cfg, jax.random.PRNGKey(2),
+                         noise_scale=1e-2)
+    net = AZNet(new_cfg)
+    b = boards5.shape[0]
+    pi_t = jnp.full((b, 26), 1.0 / 26)
+    v_t = jnp.ones((b,))
+    mask = jnp.ones((b,), bool)
+    grads = jax.grad(
+        lambda p: az_loss(p, net.apply, boards5, pi_t, v_t, mask)[0]
+    )(grown)
+    g = np.asarray(grads["params"]["ResBlock_0"]["Conv_0"]["kernel"])
+    # group-aware layout: new group g spans [g*4:(g+1)*4] originals then
+    # [.. +4] copies on the OUTPUT axis (16ch/8 groups -> gs=2; 32ch -> 4)
+    orig, copy = g[..., 0:2], g[..., 2:4]
+    assert not np.allclose(orig, copy)

@@ -84,6 +84,15 @@ def main():
                          "hundreds of 19x19 iterations (BENCHMARKS.md "
                          "round-3 postmortem); with this flag the value "
                          "head sees only real +-1 outcomes")
+    ap.add_argument("--reinit-value-head", action="store_true",
+                    help="with --resume: replace the value-head parameters "
+                         "(Conv_2/Dense_1/Dense_2) with a fresh init and "
+                         "zero their Adam moments, keeping the trunk and "
+                         "policy head.  The recovery move for a collapsed "
+                         "value head (BENCHMARKS.md 19x19 postmortem): the "
+                         "policy trunk is good, the head is the casualty — "
+                         "a fresh head regresses real outcomes far faster "
+                         "than a saturated-constant one un-collapses")
     ap.add_argument("--snapshot-every", type=int, default=0,
                     help=">0: with --checkpoint PATH.npz, also save immutable "
                          "snapshots PATH_iterK.npz every K iterations (Elo "
@@ -218,7 +227,11 @@ def main():
         # free, so TOTAL v-loss stops signalling collapse; this number says
         # how much of the v-loss is real.
         grounded = batch.grounded
-        gfrac = jnp.mean(grounded.astype(jnp.float32))
+        live = batch.mask
+        gfrac = (
+            jnp.sum((grounded & live).astype(jnp.float32))
+            / jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+        )
         flat_vmask = (
             (grounded & batch.mask).reshape(t * b)
             if args.value_grounded_only else batch.mask.reshape(t * b)
@@ -331,10 +344,31 @@ def main():
         target_params = data.get("target_params", train_state.params)
         print(f"resumed from {args.resume} at iteration {start_iter}", flush=True)
 
-    def save(it_done):
+    if args.reinit_value_head:
+        if not args.resume:
+            print("warning: --reinit-value-head without --resume is a no-op "
+                  "(params are already fresh)", flush=True)
+        else:
+            from gymgo_tpu.models.surgery import (
+                reinit_value_head, zero_moments_for,
+            )
+
+            key, rv_key = jax.random.split(key)
+            new_params = reinit_value_head(
+                train_state.params, rv_key, net_cfg)
+            new_opt = zero_moments_for(
+                train_state.opt_state, train_state.params)
+            train_state = train_state._replace(
+                params=new_params, opt_state=new_opt)
+            target_params = new_params
+            print("value head re-initialized (fresh Conv_2/Dense_1/Dense_2, "
+                  "Adam moments zeroed)", flush=True)
+
+    def save(it_done, main=True):
         nonlocal start_iter
         start_iter = it_done
-        ckpt.save_npz(args.checkpoint, ckpt_tree())
+        if main:
+            ckpt.save_npz(args.checkpoint, ckpt_tree())
         if args.snapshot_every and it_done % args.snapshot_every == 0:
             base = args.checkpoint
             stem = base[:-4] if base.endswith(".npz") else base
@@ -374,7 +408,9 @@ def main():
         if args.checkpoint and (
             due(args.checkpoint_every) or due(args.snapshot_every)
         ):
-            save(it + 1)
+            # the main checkpoint rewrites only on its own cadence —
+            # snapshot-only iterations just add the immutable snapshot
+            save(it + 1, main=bool(due(args.checkpoint_every)))
             print(f"  checkpoint saved at iteration {it + 1}", flush=True)
 
     if args.checkpoint:
