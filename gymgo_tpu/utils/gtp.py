@@ -168,7 +168,7 @@ class GTPEngine:
     COMMANDS = (
         "protocol_version", "name", "version", "known_command",
         "list_commands", "quit", "boardsize", "clear_board", "komi",
-        "play", "genmove", "undo", "showboard", "final_score",
+        "play", "genmove", "undo", "showboard", "final_score", "loadsgf",
     )
 
     def handle(self, line: str):
@@ -226,6 +226,8 @@ class GTPEngine:
                 return self._fmt(cmd_id, "\n" + board), False, False
             if cmd == "final_score":
                 return self._fmt(cmd_id, self._score_string()), False, False
+            if cmd == "loadsgf":
+                return self._cmd_loadsgf(cmd_id, args)
         except (ValueError, IndexError) as e:
             return self._fmt(cmd_id, f"syntax error: {e}", True), True, False
         return self._fmt(cmd_id, "unknown command", True), True, False
@@ -246,6 +248,41 @@ class GTPEngine:
             return self._fmt(cmd_id, "invalid vertex", True), True, False
         if not self._step(action):
             return self._fmt(cmd_id, "illegal move", True), True, False
+        return self._fmt(cmd_id, ""), False, False
+
+    def _cmd_loadsgf(self, cmd_id, args):
+        """GTP ``loadsgf filename [move_number]``: replace the board with
+        the SGF's position (handicap setup included) after playing the
+        moves BEFORE move_number (all moves if omitted), per the GTP v2
+        spec.  Board size and komi follow the file."""
+        if not args:
+            return self._fmt(cmd_id, "syntax error", True), True, False
+        upto = None
+        if len(args) > 1:
+            try:
+                upto = max(int(args[1]) - 1, 0)
+            except ValueError:
+                return self._fmt(cmd_id, "syntax error", True), True, False
+        from gymgo_tpu.utils import sgf as _sgf
+
+        try:
+            with open(args[0]) as f:
+                game = _sgf.parse_sgf(f.read())
+            start = _sgf.setup_state(game)
+        except (OSError, _sgf.SGFError):
+            return self._fmt(cmd_id, "cannot load file", True), True, False
+        if game.board_size != self.n:
+            self._set_boardsize(game.board_size)
+        else:
+            self._clear()
+        self.komi = game.komi
+        self.state = np.asarray(start, dtype=np.int8)
+        moves = game.moves if upto is None else game.moves[:upto]
+        for i, (color, action) in enumerate(moves):
+            expect = "w" if self._turn() == 1 else "b"
+            if color.lower() != expect or not self._step(action):
+                return self._fmt(
+                    cmd_id, f"illegal move {i} in sgf", True), True, False
         return self._fmt(cmd_id, ""), False, False
 
     def _cmd_genmove(self, cmd_id, args):
@@ -425,7 +462,16 @@ def main(argv=None):  # pragma: no cover - exercised via CLI/pipe tests
     ap.add_argument("--raw-pass", action="store_true",
                     help="disable the match-play pass rule (pass only when "
                          "it immediately wins, or nothing else is legal)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend — use when the TPU is "
+                         "busy (a GTP session queueing per-move dispatches "
+                         "behind a training job can stall for minutes)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     genmove_fn = None
     if args.checkpoint:

@@ -89,6 +89,10 @@ class SGFGame(NamedTuple):
     komi: float
     moves: List[tuple]  # [("B"|"W", action_int), ...] main line, in order
     result: Optional[str]
+    setup_black: tuple = ()  # root AB handicap/setup stones (flat actions)
+    setup_white: tuple = ()  # root AW setup stones (flat actions)
+    handicap: int = 0  # HA property (informational)
+    first_to_move: str = "B"  # color to move from the setup position
 
 
 class SGFError(ValueError):
@@ -145,7 +149,12 @@ def _parse_nodes(text: str) -> List[dict]:
                     p0 = j
                     while j < n and text[j].isalpha():
                         j += 1
-                    prop = text[p0:j].upper()
+                    # FF[3] long identifiers ("AddBlack", "White") carry the
+                    # FF[4] short name in their uppercase letters; FF[4]
+                    # identifiers are all-uppercase already
+                    ident = text[p0:j]
+                    prop = "".join(c for c in ident if c.isupper()) or \
+                        ident.upper()
                     j = skip_ws(j)
                     vals = []
                     while j < n and text[j] == "[":
@@ -182,19 +191,64 @@ def _coord_to_action(value: str, board_size: int) -> int:
     return r * board_size + c
 
 
-def parse_sgf(text: str) -> SGFGame:
-    """Parse SGF text into (board_size, komi, main-line moves, result).
+def _expand_points(values: Sequence[str], board_size: int) -> tuple:
+    """Expand an AB/AW point list, including FF[4] compressed rectangles
+    (``[aa:cc]`` = the 3x3 block), into flat actions."""
+    out = []
+    for v in values:
+        if ":" in v:
+            lo, hi = v.split(":", 1)
+            a0, a1 = _coord_to_action(lo, board_size), _coord_to_action(
+                hi, board_size)
+            r0, c0 = divmod(a0, board_size)
+            r1, c1 = divmod(a1, board_size)
+            for r in range(min(r0, r1), max(r0, r1) + 1):
+                for c in range(min(c0, c1), max(c0, c1) + 1):
+                    out.append(r * board_size + c)
+        else:
+            a = _coord_to_action(v, board_size)
+            if a == board_size * board_size:
+                raise SGFError("setup stone with empty/pass coordinate")
+            out.append(a)
+    return tuple(out)
 
-    Supported: FF[3]/FF[4] single- or multi-node records, variations (main
-    line taken), escaped values, pass as ``[]`` or ``[tt]``.  Setup stones
-    (AB/AW/AE) are rejected — the engine replays games from an empty board.
+
+def parse_sgf(text: str) -> SGFGame:
+    """Parse SGF text into (board_size, komi, main-line moves, result,
+    setup stones).
+
+    Supported: FF[3]/FF[4] single- or multi-node records (incl. FF[3] long
+    property names), variations (main line taken), escaped values and
+    comments, pass as ``[]`` or ``[tt]``, ROOT-node handicap/setup stones
+    AB/AW (incl. compressed point lists) with the HA property.  Rejected
+    with a clear error: rectangular/oversized boards, AE erasure, and
+    mid-game setup stones — the engine replays legal games only.
     """
     nodes = _parse_nodes(text)
     root = nodes[0]
-    for prop in ("AB", "AW", "AE"):
-        if any(prop in node for node in nodes):
-            raise SGFError("setup stones (AB/AW/AE) are not supported")
-    size = int(root.get("SZ", ["19"])[0] or 19)
+    raw_sz = root.get("SZ", ["19"])[0] or "19"
+    if ":" in raw_sz:
+        raise SGFError(f"rectangular boards unsupported (SZ[{raw_sz}])")
+    try:
+        size = int(raw_sz)
+    except ValueError:
+        raise SGFError(f"bad board size SZ[{raw_sz}]")
+    if not (2 <= size <= 19):
+        raise SGFError(f"board size {size} outside the supported 2..19")
+    if any(p in node for node in nodes for p in ("AB", "AW", "AE")
+           if node is not root):
+        raise SGFError("mid-game setup stones (AB/AW/AE) are not supported")
+    if "AE" in root:
+        raise SGFError("setup erasure (AE) is not supported")
+    setup_black = _expand_points(root.get("AB", []), size)
+    setup_white = _expand_points(root.get("AW", []), size)
+    overlap = set(setup_black) & set(setup_white)
+    if overlap:
+        raise SGFError(f"AB/AW overlap at flat actions {sorted(overlap)}")
+    try:
+        handicap = int(root.get("HA", ["0"])[0] or 0)
+    except ValueError:
+        handicap = 0
     try:
         komi = float(root.get("KM", ["0"])[0] or 0.0)
     except ValueError:
@@ -205,7 +259,74 @@ def parse_sgf(text: str) -> SGFGame:
         for color in ("B", "W"):
             if color in node:
                 moves.append((color, _coord_to_action(node[color][0], size)))
-    return SGFGame(board_size=size, komi=komi, moves=moves, result=result)
+    if moves:
+        first = moves[0][0]
+    else:
+        # after handicap placement white moves first
+        first = "W" if setup_black and not setup_white else "B"
+    return SGFGame(board_size=size, komi=komi, moves=moves, result=result,
+                   setup_black=setup_black, setup_white=setup_white,
+                   handicap=handicap, first_to_move=first)
+
+
+def setup_state(game: SGFGame):
+    """Initial engine state for a parsed game: setup stones placed and the
+    invalid-move plane recomputed BY THE ENGINE (a pass is replayed through
+    the exact kernel from a pre-flipped-turn board, which re-derives
+    occupied/suicide masks; the pass flag is then cleared).  Returns a
+    float64 (6, N, N) state with ``first_to_move`` to move."""
+    import numpy as np
+
+    from gymgo_tpu import gogame, govars
+
+    n = game.board_size
+    if not game.setup_black and not game.setup_white \
+            and game.first_to_move == "B":
+        return gogame.init_state(n)
+    raw = np.zeros((govars.NUM_CHNLS, n, n), np.float64)
+    for a in game.setup_black:
+        raw[govars.BLACK, a // n, a % n] = 1
+    for a in game.setup_white:
+        raw[govars.WHITE, a // n, a % n] = 1
+    # pre-pass turn = opponent of the first mover; the pass flips it
+    raw[govars.TURN_CHNL] = 0.0 if game.first_to_move == "W" else 1.0
+    if _has_dead_group(raw[govars.BLACK] > 0, raw[govars.WHITE] > 0):
+        raise SGFError("setup stones form zero-liberty (dead) groups")
+    state = gogame.next_state(raw, n * n)
+    state[govars.PASS_CHNL] = 0.0
+    return state
+
+
+def _has_dead_group(black, white) -> bool:
+    """Host-side BFS: any same-color group with zero liberties?  (A pass
+    through the engine does not run capture resolution — in legal play a
+    pass cannot capture — so dead SETUP stones must be caught here.)"""
+    import numpy as np
+
+    n = black.shape[0]
+    occupied = black | white
+    for plane in (black, white):
+        seen = np.zeros_like(plane, dtype=bool)
+        for r0, c0 in zip(*np.nonzero(plane & ~seen)):
+            if seen[r0, c0]:
+                continue
+            stack, group = [(int(r0), int(c0))], []
+            seen[r0, c0] = True
+            has_lib = False
+            while stack:
+                r, c = stack.pop()
+                group.append((r, c))
+                for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                    if not (0 <= rr < n and 0 <= cc < n):
+                        continue
+                    if not occupied[rr, cc]:
+                        has_lib = True
+                    elif plane[rr, cc] and not seen[rr, cc]:
+                        seen[rr, cc] = True
+                        stack.append((rr, cc))
+            if not has_lib:
+                return True
+    return False
 
 
 def replay_sgf(text: str):
@@ -219,7 +340,7 @@ def replay_sgf(text: str):
     from gymgo_tpu import gogame
 
     game = parse_sgf(text)
-    state = gogame.init_state(game.board_size)
+    state = setup_state(game)  # handicap stones + first mover, engine-checked
     states = [state]
     for i, (color, action) in enumerate(game.moves):
         expect = "B" if gogame.turn(state) == 0 else "W"

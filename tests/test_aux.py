@@ -167,11 +167,80 @@ def test_sgf_import_rejections():
     from gymgo_tpu.utils import sgf
 
     with pytest.raises(sgf.SGFError):
-        sgf.parse_sgf("(;SZ[5]AB[aa];W[bb])")  # setup stones unsupported
+        sgf.parse_sgf("(;SZ[5];B[aa];AB[cc]W[bb])")  # mid-game setup stones
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[5]AE[aa];B[bb])")  # setup erasure
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[19:13];B[aa])")  # rectangular board
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[21];B[aa])")  # beyond the 19x19 engine maximum
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[x];B[aa])")  # unparseable size
+    with pytest.raises(sgf.SGFError):
+        sgf.parse_sgf("(;SZ[5]AB[aa]AW[aa];W[bb])")  # AB/AW overlap
     with pytest.raises(sgf.SGFError):
         sgf.parse_sgf("not an sgf")
-    with pytest.raises(sgf.SGFError):
-        sgf.replay_sgf("(;SZ[5];W[aa])")  # white cannot move first
     with pytest.raises(Exception):
         # occupied-point replay must trip the engine's legality assert
         sgf.replay_sgf("(;SZ[5];B[aa];W[aa])")
+    with pytest.raises(sgf.SGFError):
+        # zero-liberty setup position: the engine-side recheck must refuse
+        sgf.setup_state(sgf.parse_sgf("(;SZ[5]AB[aa]AW[ab][ba];B[cc])"))
+
+
+def test_sgf_handicap_and_tolerant_imports():
+    """Round-4 hardening: third-party records with handicap setup stones,
+    FF[3] long property names, compressed point lists, and white-first
+    games are handled instead of rejected (VERDICT.md item 7)."""
+    import numpy as np
+
+    from gymgo_tpu import gogame, govars
+    from gymgo_tpu.utils import sgf
+
+    # root AB handicap: stones placed, white to move first, replay works
+    g = sgf.parse_sgf("(;SZ[9]HA[2]KM[0.5]AB[gc][cg];W[ee];B[dd])")
+    assert g.handicap == 2 and g.first_to_move == "W"
+    assert len(g.setup_black) == 2 and g.setup_white == ()
+    game, states = sgf.replay_sgf("(;SZ[9]HA[2]KM[0.5]AB[gc][cg];W[ee];B[dd])")
+    assert states[0][govars.BLACK].sum() == 2  # handicap stones pre-placed
+    assert gogame.turn(states[0]) == 1  # white to move from setup
+    assert states[-1][:2].sum() == 4
+    # the setup state's invalid-move plane is engine-derived: occupied
+    # points are invalid before any move is played
+    assert states[0][govars.INVD_CHNL].sum() >= 2
+
+    # FF[3] long property identifiers carry the short name in uppercase
+    g3 = sgf.parse_sgf("(;GaMe[1]SiZe[5]KoMi[1];B[aa];White[ba])")
+    assert g3.board_size == 5 and g3.komi == 1.0
+    assert g3.moves == [("B", 0), ("W", 1)]
+
+    # FF[4] compressed point list: aa:bb is the 2x2 block
+    g4 = sgf.parse_sgf("(;SZ[9]AB[aa:bb];W[ee])")
+    assert sorted(g4.setup_black) == [0, 1, 9, 10]
+
+    # white-first games (no handicap) replay from a flipped-turn board
+    game_w, states_w = sgf.replay_sgf("(;SZ[5];W[aa];B[bb])")
+    assert gogame.turn(states_w[0]) == 1
+    assert np.asarray(states_w[-1])[:2].sum() == 2
+
+
+def test_sgf_real_format_fixture():
+    """A KGS-export-formatted handicap record (header block, HA/AB, byo-
+    yomi/time/rank properties, escaped comments, a variation) must parse,
+    take the main line, and replay legally through the engine."""
+    import os
+
+    from gymgo_tpu import govars
+    from gymgo_tpu.utils import sgf
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "handicap_kgs_style.sgf")
+    with open(path) as f:
+        text = f.read()
+    game, states = sgf.replay_sgf(text)
+    assert game.board_size == 9 and game.handicap == 2
+    assert game.komi == 0.5
+    assert len(game.setup_black) == 2
+    assert game.first_to_move == "W" and game.moves[0][0] == "W"
+    assert len(game.moves) == 48  # main line only; the variation is skipped
+    assert states[-1][govars.DONE_CHNL].sum() == 0

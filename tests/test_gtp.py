@@ -174,3 +174,37 @@ def test_puct_mover_tree_reuse():
     assert mover._tree is not None
     eng.handle("clear_board")
     assert mover._tree is None
+
+
+def test_loadsgf():
+    """GTP loadsgf: position (with handicap setup) loads from file, board
+    size and komi follow the record, optional move_number truncates."""
+    import os
+
+    from gymgo_tpu import govars
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "handicap_kgs_style.sgf")
+    # engine starts at a different size; loadsgf must resize to the file
+    eng = GTPEngine(19, komi=7.5, seed=0)
+    _ok(eng.handle(f"loadsgf {path}")[0])
+    assert eng.n == 9 and eng.komi == 0.5
+    assert len(eng.moves) == 48
+    assert eng.state[:2].sum() >= 2  # setup stones + surviving moves
+    # play continues from the loaded position
+    resp, err, _ = eng.handle(
+        "genmove b" if eng._turn() == 0 else "genmove w")
+    _ok(resp)
+
+    # move_number: loadsgf plays the moves BEFORE it (GTP v2)
+    eng2 = GTPEngine(9, komi=0.0, seed=0)
+    _ok(eng2.handle(f"loadsgf {path} 5")[0])
+    assert len(eng2.moves) == 4
+    assert int(eng2.state[govars.BLACK].sum()) >= 2  # handicap stones live
+
+    # a bad path is a clean GTP failure, not an exception
+    resp, err, _ = eng2.handle("loadsgf /no/such/file.sgf")
+    assert err and "cannot load file" in resp
+
+    # loadsgf is advertised
+    assert "loadsgf" in _ok(eng2.handle("list_commands")[0])
