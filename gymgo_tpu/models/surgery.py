@@ -43,11 +43,21 @@ VALUE_HEAD_KEYS = ("Conv_2", "Dense_1", "Dense_2")
 
 
 def reinit_value_head(params, key: jax.Array, config: AZNetConfig):
-    """Return ``params`` with the value-head subtrees freshly initialized."""
+    """Return ``params`` with the value-head subtrees freshly initialized.
+
+    The final Dense (pre-tanh) is ZEROED, not lecun-sampled: a trained
+    trunk's activations are far larger than at init, so a default-scale
+    fresh head saturates tanh immediately (measured on the 19x19 iter-420
+    trunk: mean |v| = 1.000, sign agreement 0.40, v-loss pinned at ~2 —
+    confident noise with dead gradients).  v == tanh(0) = 0 starts the
+    head neutral with full gradient flow, the standard zero-init for
+    value output layers."""
     fresh = init_params(key, config)
     inner = dict(params["params"])
     for k in VALUE_HEAD_KEYS:
         inner[k] = fresh["params"][k]
+    inner["Dense_2"] = jax.tree_util.tree_map(
+        jnp.zeros_like, inner["Dense_2"])
     return {"params": inner}
 
 

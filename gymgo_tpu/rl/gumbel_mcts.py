@@ -24,11 +24,31 @@ to multi-ply lookahead (the reference itself ships no search).
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Tree-table packing experiments for the measured B=512->1024 throughput
+# cliff (BENCHMARKS.md round-3 sweep: 2.87x time for 2x batch — the
+# (B, nodes, A) working set, ~50MB/array at B=1024 f32/i32, outgrows what
+# XLA can keep resident).  Comma-separated tokens in GYMGO_GUMBEL_PACK:
+#   i16  — visit counts as int16 (sims <= 32767; halves the visit array)
+#   bf16 — wsum (and the stored log-prior under ``logp``) as bfloat16;
+#          q is computed in f32, only STORAGE narrows (backup accumulation
+#          rounds to bf16 — not bit-exact with the default)
+#   logp — store log-softmax priors + a bool validity plane instead of
+#          softmax priors: removes the per-simulation log over the whole
+#          (B, nodes, A) prior array from interior_scores
+# Default (unset) keeps the exact f32/int32 layout.
+_PACK = frozenset(
+    t for t in os.environ.get("GYMGO_GUMBEL_PACK", "").split(",") if t
+)
+_VISIT_DT = jnp.int16 if "i16" in _PACK else jnp.int32
+_WSUM_DT = jnp.bfloat16 if "bf16" in _PACK else jnp.float32
+_USE_LOGP = "logp" in _PACK
 
 from gymgo_tpu.core import actions as _actions
 from gymgo_tpu.core import state as _state
@@ -131,12 +151,23 @@ def run_gumbel_mcts(
     node_done = node_done.at[:, 0].set(_state.game_ended(states))
     node_value = jnp.zeros((b, num_nodes), jnp.float32)
     node_value = node_value.at[:, 0].set(root_value_net)
-    prior = jnp.zeros((b, num_nodes, a_size), jnp.float32)
-    prior = prior.at[:, 0].set(
-        jax.nn.softmax(root_logits, axis=-1)
-    )
-    visit = jnp.zeros((b, num_nodes, a_size), jnp.int32)
-    wsum = jnp.zeros((b, num_nodes, a_size), jnp.float32)
+    if _USE_LOGP:
+        # log-prior storage: the per-sim log over (B, nodes, A) disappears
+        # from interior_scores; validity rides a separate bool plane
+        prior = jnp.full((b, num_nodes, a_size), -jnp.inf, _WSUM_DT)
+        prior = prior.at[:, 0].set(
+            jax.nn.log_softmax(root_logits, axis=-1).astype(_WSUM_DT)
+        )
+        node_valid = jnp.zeros((b, num_nodes, a_size), bool)
+        node_valid = node_valid.at[:, 0].set(valid_root)
+    else:
+        prior = jnp.zeros((b, num_nodes, a_size), jnp.float32)
+        prior = prior.at[:, 0].set(
+            jax.nn.softmax(root_logits, axis=-1)
+        )
+        node_valid = None
+    visit = jnp.zeros((b, num_nodes, a_size), _VISIT_DT)
+    wsum = jnp.zeros((b, num_nodes, a_size), _WSUM_DT)
     child = jnp.full((b, num_nodes, a_size), -1, jnp.int32)
 
     bidx = jnp.arange(b)
@@ -145,32 +176,43 @@ def run_gumbel_mcts(
         """Per-candidate (N, q) at the root; q from the root mover's view.
         Gather-free: masked reduces through the precomputed candidate
         one-hots instead of per-sim take_along_axis."""
-        cn = jnp.sum(jnp.where(cand_onehot, visit[:, 0][:, None, :], 0), axis=-1)
-        cw = jnp.sum(jnp.where(cand_onehot, wsum[:, 0][:, None, :], 0.0), axis=-1)
+        v0 = visit[:, 0].astype(jnp.int32)
+        w0 = wsum[:, 0].astype(jnp.float32)
+        cn = jnp.sum(jnp.where(cand_onehot, v0[:, None, :], 0), axis=-1)
+        cw = jnp.sum(jnp.where(cand_onehot, w0[:, None, :], 0.0), axis=-1)
         q = jnp.where(cn > 0, cw / jnp.maximum(cn, 1), 0.0)
         return cn, q
 
-    def interior_scores(p_prior, p_visit, p_wsum, p_value):
+    def interior_scores(p_prior, p_visit, p_wsum, p_value, p_valid):
         """Deterministic non-root selection: argmax pi'(a) - N(a)/(1+sumN),
         computed elementwise for ALL (B, M) nodes at once (gather-free —
         tree stats are frozen during one selection walk, see rl/treewalk).
 
         completedQ(a) = q(a) when visited else the node's own net value
         (both from the node mover's perspective)."""
-        total = jnp.sum(p_visit, axis=-1, keepdims=True)
+        total = jnp.sum(p_visit.astype(jnp.int32), axis=-1, keepdims=True)
         q = jnp.where(
-            p_visit > 0, p_wsum / jnp.maximum(p_visit, 1), p_value[..., None]
+            p_visit > 0,
+            p_wsum.astype(jnp.float32)
+            / jnp.maximum(p_visit, 1).astype(jnp.float32),
+            p_value[..., None],
         )
-        logits_pi = jnp.log(jnp.maximum(p_prior, 1e-30))
-        max_n = jnp.max(p_visit, axis=-1, keepdims=True)
+        if _USE_LOGP:
+            logits_pi = p_prior.astype(jnp.float32)
+            selectable = p_valid
+        else:
+            logits_pi = jnp.log(jnp.maximum(p_prior, 1e-30))
+            selectable = p_prior > 0
+        max_n = jnp.max(p_visit.astype(jnp.int32), axis=-1, keepdims=True)
         improved = jax.nn.softmax(
             logits_pi + _sigma(q, max_n, c_visit, c_scale), axis=-1
         )
         scores = improved - p_visit.astype(jnp.float32) / (1.0 + total)
-        return jnp.where(p_prior > 0, scores, -jnp.inf)
+        return jnp.where(selectable, scores, -jnp.inf)
 
     def simulate(sim, tree):
-        node_states, node_done, node_value, prior, visit, wsum, child = tree
+        (node_states, node_done, node_value, prior, visit, wsum, child,
+         node_valid) = tree
 
         # ---- root action by sequential halving: among the top-`considered`
         # candidates by g + logits + sigma(q), visit the least-visited.
@@ -197,7 +239,7 @@ def run_gumbel_mcts(
         # terminal child.  The per-node argmax/next/continue tables are
         # precomputed gather-free (stats frozen during one walk), and the
         # descent itself only touches (B, M) tables — see rl/treewalk.
-        scores = interior_scores(prior, visit, wsum, node_value)
+        scores = interior_scores(prior, visit, wsum, node_value, node_valid)
         tables = _treewalk.node_tables(scores, child, node_done)
         f_nxt, f_keep = _treewalk.forced_root_edge(root_action, child, node_done)
         sel_depth, path_n, path_a = _treewalk.walk_paths(
@@ -235,11 +277,22 @@ def run_gumbel_mcts(
         node_value = node_value.at[:, slot].set(
             jnp.where(write, leaf_value, node_value[:, slot])
         )
-        prior = prior.at[bidx, slot].set(
-            jnp.where(
-                write[:, None], jax.nn.softmax(new_logits, axis=-1), prior[:, slot]
+        if _USE_LOGP:
+            logp_new = jax.nn.log_softmax(new_logits, axis=-1).astype(
+                prior.dtype)
+            prior = prior.at[bidx, slot].set(
+                jnp.where(write[:, None], logp_new, prior[:, slot])
             )
-        )
+            node_valid = node_valid.at[bidx, slot].set(
+                jnp.where(write[:, None], new_valid, node_valid[:, slot])
+            )
+        else:
+            prior = prior.at[bidx, slot].set(
+                jnp.where(
+                    write[:, None], jax.nn.softmax(new_logits, axis=-1),
+                    prior[:, slot],
+                )
+            )
         child = child.at[bidx, exp_parent, exp_action].set(
             jnp.where(write, slot, prev_child)
         )
@@ -262,18 +315,23 @@ def run_gumbel_mcts(
             acts = jnp.where(on_path, path_a, 0)
             steps_up = depth - 1 - d
             sign = jnp.where(steps_up % 2 == 0, -1.0, 1.0)
-            pv = p_visit.at[nodes, acts].add(on_path.astype(jnp.int32))
-            pw = p_wsum.at[nodes, acts].add(jnp.where(on_path, sign * v_leaf, 0.0))
+            pv = p_visit.at[nodes, acts].add(on_path.astype(p_visit.dtype))
+            pw = p_wsum.at[nodes, acts].add(
+                jnp.where(on_path, sign * v_leaf, 0.0).astype(p_wsum.dtype)
+            )
             return pv, pw
 
         visit, wsum = jax.vmap(backup_one)(
             visit, wsum, path_n, path_a, sel_depth, leaf_value
         )
-        return node_states, node_done, node_value, prior, visit, wsum, child
+        return (node_states, node_done, node_value, prior, visit, wsum,
+                child, node_valid)
 
-    tree = (node_states, node_done, node_value, prior, visit, wsum, child)
+    tree = (node_states, node_done, node_value, prior, visit, wsum, child,
+            node_valid)
     tree = lax.fori_loop(0, num_simulations, simulate, tree)
-    node_states, node_done, node_value, prior, visit, wsum, child = tree
+    (node_states, node_done, node_value, prior, visit, wsum, child,
+     node_valid) = tree
 
     # ---- outputs.
     cn, cq = root_candidate_stats(visit, wsum)
@@ -285,9 +343,11 @@ def run_gumbel_mcts(
 
     # Improved policy over the FULL action space: completedQ(a) = q(a) for
     # visited root actions, root net value otherwise.
-    rn = visit[:, 0]
+    rn = visit[:, 0].astype(jnp.int32)
     rq = jnp.where(
-        rn > 0, wsum[:, 0] / jnp.maximum(rn, 1), root_value_net[:, None]
+        rn > 0,
+        wsum[:, 0].astype(jnp.float32) / jnp.maximum(rn, 1),
+        root_value_net[:, None],
     )
     improved_logits = root_logits + _sigma(rq, max_n[:, None], c_visit, c_scale)
     improved = jax.nn.softmax(
@@ -298,7 +358,8 @@ def run_gumbel_mcts(
     total_n = jnp.sum(rn, axis=1)
     root_q = jnp.where(
         total_n > 0,
-        jnp.sum(wsum[:, 0], axis=1) / jnp.maximum(total_n, 1),
+        jnp.sum(wsum[:, 0].astype(jnp.float32), axis=1)
+        / jnp.maximum(total_n, 1),
         root_value_net,
     )
     return GumbelMCTSResult(

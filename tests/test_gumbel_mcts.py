@@ -163,3 +163,45 @@ def test_improvement_operator_sign_oracle():
                        num_sampled=n * n + 1)
     slot2 = int(np.where(np.asarray(r2.sampled_actions[0]) == pass_idx)[0][0])
     assert float(r2.q_values[0, slot2]) == -1.0
+
+
+def test_packed_tree_tables_agree(monkeypatch):
+    """GYMGO_GUMBEL_PACK layouts (int16 visits, log-prior storage) must
+    search the same way as the exact f32/int32 default: identical visit
+    counts and near-identical action choices (log-prior differs only in
+    final-ulp rounding of log(softmax))."""
+    import numpy as np
+
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.env.batch_env import rollout
+    from gymgo_tpu.models import AZNet, AZNetConfig, init_params
+    from gymgo_tpu.rl import gumbel_mcts as gm
+
+    n, b = 5, 16
+    cfg = EnvConfig(board_size=n, batch_size=b, auto_reset=True)
+    states = rollout(jax.random.PRNGKey(2), batch_init_state(b, n),
+                     10, cfg).final_states
+    netcfg = AZNetConfig(board_size=n, channels=16, blocks=1)
+    net = AZNet(netcfg)
+    params = init_params(jax.random.PRNGKey(0), netcfg)
+    key = jax.random.PRNGKey(7)
+
+    base = gm.run_gumbel_mcts(key, states, params, net.apply,
+                              num_simulations=12, max_considered=8)
+    monkeypatch.setattr(gm, "_VISIT_DT", jnp.int16)
+    monkeypatch.setattr(gm, "_USE_LOGP", True)
+    packed = gm.run_gumbel_mcts(key, states, params, net.apply,
+                                num_simulations=12, max_considered=8)
+
+    agree = np.mean(np.asarray(base.actions) == np.asarray(packed.actions))
+    assert agree >= 0.9, agree
+    np.testing.assert_array_equal(np.asarray(base.sampled_actions),
+                                  np.asarray(packed.sampled_actions))
+    # visit counts identical when the walks coincide; allow ulp-tie slack
+    vis_match = np.mean(
+        np.asarray(base.root_visits) == np.asarray(packed.root_visits))
+    assert vis_match >= 0.99, vis_match
+    np.testing.assert_allclose(np.asarray(base.improved_policy),
+                               np.asarray(packed.improved_policy),
+                               atol=5e-2)

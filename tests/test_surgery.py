@@ -43,6 +43,10 @@ def test_reinit_value_head_keeps_policy(boards5):
     p1, v1 = net.apply(new, boards5)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     assert not np.allclose(np.asarray(v0), np.asarray(v1))
+    # final value layer zero-initialized: the re-init head starts NEUTRAL
+    # (tanh(0) = 0 with live gradients) instead of saturating on a trained
+    # trunk's large activations
+    np.testing.assert_array_equal(np.asarray(v1), np.zeros(v1.shape[0]))
     # trunk + policy head untouched
     for k in params["params"]:
         pairs = zip(jax.tree_util.tree_leaves(params["params"][k]),
