@@ -181,17 +181,28 @@ def widen_deepen(
         else:
             new[f"ResBlock_{b}"] = blk
 
-    # New depth: identity residual blocks — first conv fresh (gradients
-    # flow immediately), second conv zero; GroupNorm of an all-zero input
-    # emits its bias, which flax initializes to zero, so h == 0 exactly
-    # and relu(x + 0) == x (x is already post-relu, hence non-negative).
+    # New depth: identity residual blocks via ZERO-GAMMA — both convs
+    # fresh (gradients flow immediately), the second GroupNorm's SCALE
+    # zeroed, so h = 0*normalize(conv2) + bias(=0) = 0 exactly and
+    # relu(x + 0) == x (x is already post-relu, hence non-negative).
+    # NOT zero conv kernels: GroupNorm sits after the conv, and a
+    # normalizer downstream of a zero tensor is a trap — the first
+    # optimizer step perturbs the kernel by ~lr, and GN rescales that
+    # infinitesimal output to UNIT variance, injecting O(1) noise per new
+    # block regardless of learning rate (measured: one adamw step at
+    # lr 1e-4 and 5e-4 identically collapsed a grown 19x19 net from
+    # pi-loss 4.90 to 5.64).  The zero GN scale is a plain multiplier,
+    # so the block opens smoothly at O(lr).
     for b in range(old_config.blocks, new_config.blocks):
         fb = fresh[f"ResBlock_{b}"]
         new[f"ResBlock_{b}"] = {
             "Conv_0": fb["Conv_0"],
             "GroupNorm_0": fb["GroupNorm_0"],
-            "Conv_1": {"kernel": jnp.zeros_like(fb["Conv_1"]["kernel"])},
-            "GroupNorm_1": fb["GroupNorm_1"],
+            "Conv_1": fb["Conv_1"],
+            "GroupNorm_1": {
+                "scale": jnp.zeros_like(fb["GroupNorm_1"]["scale"]),
+                "bias": jnp.zeros_like(fb["GroupNorm_1"]["bias"]),
+            },
         }
 
     # Heads: 1x1 convs consume the duplicated trunk (split 1/r); their

@@ -136,3 +136,46 @@ def test_widen_deepen_noise_breaks_gradient_symmetry(boards5):
     # [.. +4] copies on the OUTPUT axis (16ch/8 groups -> gs=2; 32ch -> 4)
     orig, copy = g[..., 0:2], g[..., 2:4]
     assert not np.allclose(orig, copy)
+
+
+def test_widen_deepen_stable_after_update(boards5):
+    """Regression: one optimizer step must not collapse the grown net.
+    The original deepening recipe zeroed the new blocks' second CONV —
+    but GroupNorm downstream of a zero tensor renormalizes the first
+    update's ~lr-sized output to UNIT variance, injecting O(1) noise per
+    block regardless of lr (measured on the 19x19 flagship growth).  The
+    zero-GAMMA recipe keeps the perturbation O(lr)."""
+    import optax
+
+    from gymgo_tpu.rl.learner import az_loss
+
+    old_cfg = AZNetConfig(board_size=5, channels=16, blocks=1,
+                          dtype=jnp.float32)
+    new_cfg = dataclasses.replace(old_cfg, channels=32, blocks=4)
+    params = init_params(jax.random.PRNGKey(1), old_cfg)
+    grown = widen_deepen(params, old_cfg, new_cfg, jax.random.PRNGKey(2),
+                         noise_scale=1e-2)
+
+    b = boards5.shape[0]
+    pi_t = jnp.full((b, 26), 1.0 / 26)
+    v_t = jnp.ones((b,))
+    mask = jnp.ones((b,), bool)
+
+    def one_step_shift(cfg, p):
+        net = AZNet(cfg)
+        p_ref, _ = net.apply(p, boards5)
+        tx = optax.adamw(1e-3)
+        opt = tx.init(p)
+        grads = jax.grad(
+            lambda q: az_loss(q, net.apply, boards5, pi_t, v_t, mask)[0]
+        )(p)
+        updates, _ = tx.update(grads, opt, p)
+        p_new, _ = net.apply(optax.apply_updates(p, updates), boards5)
+        return float(jnp.max(jnp.abs(p_new - p_ref)))
+
+    # fresh-adamw's first step moves every param by ~lr; the PARENT's
+    # resulting output shift is the honest yardstick for "normal"
+    parent_shift = one_step_shift(old_cfg, params)
+    grown_shift = one_step_shift(new_cfg, grown)
+    assert grown_shift < 4.0 * parent_shift + 1e-3, (
+        grown_shift, parent_shift)
