@@ -169,6 +169,7 @@ class GTPEngine:
         "protocol_version", "name", "version", "known_command",
         "list_commands", "quit", "boardsize", "clear_board", "komi",
         "play", "genmove", "undo", "showboard", "final_score", "loadsgf",
+        "fixed_handicap", "set_free_handicap",
     )
 
     def handle(self, line: str):
@@ -228,6 +229,10 @@ class GTPEngine:
                 return self._fmt(cmd_id, self._score_string()), False, False
             if cmd == "loadsgf":
                 return self._cmd_loadsgf(cmd_id, args)
+            if cmd == "fixed_handicap":
+                return self._cmd_fixed_handicap(cmd_id, args)
+            if cmd == "set_free_handicap":
+                return self._cmd_set_free_handicap(cmd_id, args)
         except (ValueError, IndexError) as e:
             return self._fmt(cmd_id, f"syntax error: {e}", True), True, False
         return self._fmt(cmd_id, "unknown command", True), True, False
@@ -285,6 +290,56 @@ class GTPEngine:
                     cmd_id, f"illegal move {i} in sgf", True), True, False
         return self._fmt(cmd_id, ""), False, False
 
+    def _place_handicap(self, actions):
+        """Place black setup stones on the empty board via the engine-side
+        setup path (invalid-move plane recomputed, white to move)."""
+        from gymgo_tpu.utils import sgf as _sgf
+
+        game = _sgf.SGFGame(
+            board_size=self.n, komi=self.komi, moves=[], result=None,
+            setup_black=tuple(int(a) for a in actions), setup_white=(),
+            handicap=len(actions), first_to_move="W",
+        )
+        self.state = np.asarray(_sgf.setup_state(game), dtype=np.int8)
+        self.history = []
+        self.moves = []
+        self._notify_reset()
+
+    def _cmd_fixed_handicap(self, cmd_id, args):
+        """GTP ``fixed_handicap <n>``: standard hoshi placement (2-9
+        stones), empty board only; responds with the vertex list and
+        leaves white to move."""
+        if self.state[:2].any() or self.moves:
+            return self._fmt(cmd_id, "board not empty", True), True, False
+        try:
+            k = int(args[0])
+        except (ValueError, IndexError):
+            return self._fmt(cmd_id, "syntax error", True), True, False
+        pts = fixed_handicap_points(self.n, k)
+        if pts is None:
+            return self._fmt(
+                cmd_id, "invalid number of stones", True), True, False
+        acts = [r * self.n + c for r, c in pts]
+        self._place_handicap(acts)
+        verts = " ".join(_action_to_vertex(a, self.n) for a in acts)
+        return self._fmt(cmd_id, verts), False, False
+
+    def _cmd_set_free_handicap(self, cmd_id, args):
+        """GTP ``set_free_handicap <vertex>...``: caller-chosen handicap
+        stones, empty board only."""
+        if self.state[:2].any() or self.moves:
+            return self._fmt(cmd_id, "board not empty", True), True, False
+        if len(args) < 2:
+            return self._fmt(cmd_id, "bad vertex list", True), True, False
+        acts = []
+        for v in args:
+            a = _vertex_to_action(v, self.n)
+            if a is None or a == self.n * self.n or a in acts:
+                return self._fmt(cmd_id, "bad vertex list", True), True, False
+            acts.append(a)
+        self._place_handicap(acts)
+        return self._fmt(cmd_id, ""), False, False
+
     def _cmd_genmove(self, cmd_id, args):
         if not args or args[0].lower()[0] not in ("b", "w"):
             return self._fmt(cmd_id, "syntax error", True), True, False
@@ -318,6 +373,34 @@ class GTPEngine:
     def _fmt(cmd_id: str, text: str, error: bool = False) -> str:
         prefix = ("?" if error else "=") + (cmd_id if cmd_id else "")
         return f"{prefix} {text}".rstrip() + "\n\n"
+
+
+def fixed_handicap_points(n: int, k: int):
+    """Standard hoshi handicap vertices as (row, col) pairs, or None if
+    the request is invalid (GTP v2 fixed_handicap semantics: 2-9 stones,
+    board big enough, center-using counts need an odd board)."""
+    if not (2 <= k <= 9) or n < 7:
+        return None
+    d = 3 if n >= 13 else 2
+    if k >= 5 and k % 2 == 1 and n % 2 == 0:
+        return None  # 5/7/9 use the center point
+    c = n // 2
+    lo, hi = d, n - 1 - d
+    corners = [(hi, lo), (lo, hi), (lo, lo), (hi, hi)]
+    sides_lr = [(c, lo), (c, hi)]
+    sides_tb = [(lo, c), (hi, c)]
+    pts = corners[:k] if k <= 4 else list(corners)
+    if k == 5:
+        pts += [(c, c)]
+    elif k == 6:
+        pts += sides_lr
+    elif k == 7:
+        pts += sides_lr + [(c, c)]
+    elif k == 8:
+        pts += sides_lr + sides_tb
+    elif k == 9:
+        pts += sides_lr + sides_tb + [(c, c)]
+    return pts
 
 
 class PUCTMover:

@@ -208,3 +208,45 @@ def test_loadsgf():
 
     # loadsgf is advertised
     assert "loadsgf" in _ok(eng2.handle("list_commands")[0])
+
+
+def test_fixed_handicap():
+    from gymgo_tpu import govars
+    from gymgo_tpu.utils.gtp import fixed_handicap_points
+
+    eng = GTPEngine(9, komi=0.0, seed=0)
+    verts = _ok(eng.handle("fixed_handicap 4")[0]).split()
+    assert len(verts) == 4
+    assert int(eng.state[govars.BLACK].sum()) == 4
+    assert eng._turn() == 1  # white moves first after handicap
+    _ok(eng.handle("genmove w")[0])
+
+    # occupied board refuses further handicap
+    resp, err, _ = eng.handle("fixed_handicap 2")
+    assert err and "board not empty" in resp
+    # bad counts
+    eng.handle("clear_board")
+    assert eng.handle("fixed_handicap 1")[1]
+    assert eng.handle("fixed_handicap 10")[1]
+    # 5 stones on an odd board uses the center
+    eng.handle("clear_board")
+    _ok(eng.handle("fixed_handicap 5")[0])
+    assert eng.state[govars.BLACK, 4, 4] == 1
+    # 9-stone layout is the full star-point set at 19x19
+    pts = fixed_handicap_points(19, 9)
+    assert len(pts) == 9 and (9, 9) in pts and (3, 3) in pts \
+        and (15, 15) in pts and (9, 3) in pts
+
+
+def test_set_free_handicap():
+    from gymgo_tpu import govars
+
+    eng = GTPEngine(9, komi=0.0, seed=0)
+    _ok(eng.handle("set_free_handicap C3 G7 E5")[0])
+    assert int(eng.state[govars.BLACK].sum()) == 3
+    assert eng._turn() == 1
+    # duplicate vertex / pass rejected on a fresh board
+    eng.handle("clear_board")
+    assert eng.handle("set_free_handicap C3 C3")[1]
+    assert eng.handle("set_free_handicap C3 pass")[1]
+    assert eng.handle("set_free_handicap C3")[1]  # needs >= 2
