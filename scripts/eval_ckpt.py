@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--board", type=int, default=13)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--opp-channels", type=int, default=0,
+                    help="opponent net width (0 = same as --channels); "
+                         "lets a grown flagship play its smaller parent")
+    ap.add_argument("--opp-blocks", type=int, default=0,
+                    help="opponent net depth (0 = same as --blocks)")
     ap.add_argument("--sims", type=int, default=32)
     ap.add_argument("--gumbel-m", type=int, default=8)
     ap.add_argument("--games", type=int, default=128)
@@ -76,19 +81,23 @@ def main():
 
     netcfg = AZNetConfig(board_size=args.board, channels=args.channels,
                          blocks=args.blocks)
-    net = AZNet(netcfg)
+    opp_cfg = AZNetConfig(
+        board_size=args.board,
+        channels=args.opp_channels or args.channels,
+        blocks=args.opp_blocks or args.blocks,
+    )
 
-    def search_policy(params):
+    def search_policy(params, cfg):
         # pass suppressed inside the search; the wrapper adds only the
         # game-sealing pass (the policy-aware pattern, BENCHMARKS.md).
         return with_pass_to_win(make_gumbel_mcts_policy(
-            params, net.apply, num_simulations=args.sims,
+            params, AZNet(cfg).apply, num_simulations=args.sims,
             max_considered=args.gumbel_m, komi=args.komi,
             pass_min_stones=1 << 20), komi=args.komi)
 
-    policy_a = search_policy(load_params(args.ckpt, netcfg))
+    policy_a = search_policy(load_params(args.ckpt, netcfg), netcfg)
     if args.opp_ckpt:
-        policy_b = search_policy(load_params(args.opp_ckpt, netcfg))
+        policy_b = search_policy(load_params(args.opp_ckpt, opp_cfg), opp_cfg)
         b_name = args.opp_ckpt
     else:
         policy_b = lambda k, s: uniform_random_actions(k, s)  # noqa: E731
