@@ -179,3 +179,43 @@ def test_widen_deepen_stable_after_update(boards5):
     grown_shift = one_step_shift(new_cfg, grown)
     assert grown_shift < 4.0 * parent_shift + 1e-3, (
         grown_shift, parent_shift)
+
+
+@pytest.mark.slow
+def test_train_cli_surgery_roundtrip(tmp_path):
+    """End-to-end CLI regression for the round-4 surgery workflow:
+    train -> resume with --reinit-value-head -> net2net growth ->
+    resume at the grown architecture.  Exercises the exact flag wiring
+    production runs use (board 5 / tiny nets / 2-iter segments)."""
+    import subprocess
+    import sys
+
+    ck = tmp_path / "t.npz"
+    big = tmp_path / "big.npz"
+    base = [sys.executable, "train.py", "--board", "5", "--envs", "8",
+            "--rollout-steps", "8", "--cpu", "--value-grounded-only",
+            "--replay-capacity", "1024"]
+
+    def run(args):
+        r = subprocess.run(base + args, capture_output=True, text=True,
+                           timeout=600, cwd=".")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run(["--channels", "16", "--blocks", "1", "--iters", "2",
+         "--checkpoint", str(ck)])
+    out = run(["--channels", "16", "--blocks", "1", "--iters", "4",
+               "--checkpoint", str(ck), "--resume", str(ck),
+               "--reinit-value-head"])
+    assert "value head re-initialized" in out
+
+    g = subprocess.run(
+        [sys.executable, "scripts/net2net.py", "--in", str(ck),
+         "--out", str(big), "--board", "5", "--envs", "8",
+         "--channels", "16", "--blocks", "1", "--new-channels", "32",
+         "--new-blocks", "2", "--replay-capacity", "1024"],
+        capture_output=True, text=True, timeout=600, cwd=".")
+    assert g.returncode == 0, g.stderr[-2000:]
+    out = run(["--channels", "32", "--blocks", "2", "--iters", "6",
+               "--checkpoint", str(big), "--resume", str(big)])
+    assert "resumed from" in out and "iter 5" in out
