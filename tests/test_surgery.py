@@ -219,3 +219,43 @@ def test_train_cli_surgery_roundtrip(tmp_path):
     out = run(["--channels", "32", "--blocks", "2", "--iters", "6",
                "--checkpoint", str(big), "--resume", str(big)])
     assert "resumed from" in out and "iter 5" in out
+
+
+@pytest.mark.slow
+def test_params_to_ckpt_resume_roundtrip(tmp_path):
+    """Artifact-recovery lifecycle: train -> export params-only artifact
+    -> params_to_ckpt re-seeds a full resume tree -> train.py resumes at
+    the requested iteration.  This is the disaster path for when the
+    gitignored checkpoints/ tree is lost and only committed artifacts
+    remain (it happened)."""
+    import subprocess
+    import sys
+
+    ck = tmp_path / "t.npz"
+    art = tmp_path / "params.npz"
+    reseed = tmp_path / "reseeded.npz"
+    base = [sys.executable, "train.py", "--board", "5", "--envs", "8",
+            "--rollout-steps", "8", "--cpu", "--channels", "16",
+            "--blocks", "1", "--replay-capacity", "1024"]
+
+    def run(cmd):
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=600, cwd=".")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run(base + ["--iters", "2", "--checkpoint", str(ck)])
+    run([sys.executable, "scripts/export_params.py", "--ckpt", str(ck),
+         "--out", str(art), "--board", "5", "--channels", "16",
+         "--blocks", "1"])
+    out = run([sys.executable, "scripts/params_to_ckpt.py",
+               "--params", str(art), "--out", str(reseed),
+               "--board", "5", "--envs", "8", "--channels", "16",
+               "--blocks", "1", "--iteration", "2", "--lr", "1e-3",
+               "--replay-capacity", "1024"])
+    assert "iteration 2" in out
+    out = run(base + ["--iters", "4", "--checkpoint", str(reseed),
+                      "--resume", str(reseed)])
+    # numbering continues where the artifact's line left off
+    assert "resumed from" in out and "at iteration 2" in out
+    assert "iter 3" in out and "iter 2" in out
