@@ -92,6 +92,14 @@ def main():
                          "256-game batch)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="--batched: max child relaunches after a TPU "
+                         "worker crash (supervised per-chunk ledger, as "
+                         "in eval_ckpt.py); 0 = bare single process")
+    ap.add_argument("--state-file", default="",
+                    help="JSONL chunk ledger; auto-derived under logs/ "
+                         "when --retries > 0 and unset")
+    ap.add_argument("--child-timeout", type=float, default=5400.0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -112,6 +120,9 @@ def main():
         raise SystemExit("need at least two --player entries")
 
     if args.batched:
+        if args.retries > 0:
+            _supervise_batched(args, names)
+            return
         wins, games, truncated = _batched_round_robin(args, names, specs)
         _report(args, names, wins, games, truncated)
         return
@@ -207,25 +218,40 @@ def _batched_round_robin(args, names, specs):
                           cfg, num_games=chunk, max_steps=max_moves,
                           opening_moves=args.opening_moves)
 
+    from gymgo_tpu.utils import faulttol
+
+    ledger = faulttol.load_ledger(args.state_file)
     k = len(names)
     wins = [[0.0] * k for _ in range(k)]
     games = [[0] * k for _ in range(k)]
     truncated = 0
-    key = jax.random.PRNGKey(args.seed)
+    n_chunks = max(1, -(-args.games // chunk))
     for i in range(k):
         for j in range(i + 1, k):
             (pa, sa), (pb, sb) = players[i], players[j]
             aw = bw = tie = trunc = 0
-            remaining = args.games
-            while remaining > 0:
-                key, sub = jax.random.split(key)
-                res = match(sub, pa, pb, sa, sb)
-                aw += int(res.policy_a_wins)
-                bw += int(res.policy_b_wins)
-                # truncation = tie, as in the GTP path
-                tie += int(res.ties) + int(res.unfinished)
-                trunc += int(res.unfinished)
-                remaining -= chunk
+            for ci in range(n_chunks):
+                ck = f"i{i}-j{j}-c{ci}"
+                rec = ledger.get(ck)
+                if rec is None:
+                    # chunk key derived from (seed, i, j, ci), never from
+                    # sequential split state — a redone chunk replays the
+                    # exact same games (faulttol resume contract)
+                    sub = jax.random.fold_in(jax.random.fold_in(
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(args.seed), i), j), ci)
+                    res = match(sub, pa, pb, sa, sb)
+                    rec = {"aw": int(res.policy_a_wins),
+                           "bw": int(res.policy_b_wins),
+                           # truncation = tie, as in the GTP path
+                           "tie": int(res.ties) + int(res.unfinished),
+                           "trunc": int(res.unfinished)}
+                    if args.state_file:
+                        faulttol.append_chunk(args.state_file, ck, rec)
+                aw += rec["aw"]
+                bw += rec["bw"]
+                tie += rec["tie"]
+                trunc += rec["trunc"]
             truncated += trunc
             total = aw + bw + tie
             wins[i][j] += aw + 0.5 * tie
@@ -235,6 +261,66 @@ def _batched_round_robin(args, names, specs):
             print(f"{names[i]} vs {names[j]}: {aw}W/{bw}L/{tie}T "
                   f"({trunc} truncated)", flush=True)
     return wins, games, truncated
+
+
+def _supervise_batched(args, names):
+    """Supervised --batched ladder (see eval_ckpt.py): per-chunk JSONL
+    ledger + relaunch-after-crash.  No jax import in this process."""
+    import hashlib
+
+    from gymgo_tpu.utils import faulttol
+
+    state_file = args.state_file
+    if not state_file:
+        tag = hashlib.sha1(" ".join(sys.argv[1:]).encode()).hexdigest()[:12]
+        os.makedirs("logs", exist_ok=True)
+        state_file = f"logs/ladderstate_{tag}.jsonl"
+    prior = faulttol.load_ledger(state_file)
+    if prior:
+        print(f"[ladder] resuming: {len(prior)} completed chunk(s) in "
+              f"{state_file}", flush=True)
+
+    child = [sys.executable, os.path.abspath(__file__)]
+    skip_next = False
+    for a in sys.argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a in ("--retries", "--state-file"):
+            skip_next = True
+            continue
+        if a.startswith(("--retries=", "--state-file=")):
+            continue
+        child.append(a)
+    child += ["--retries", "0", "--state-file", state_file]
+
+    k = len(names)
+    chunk = min(args.chunk, args.games)
+    n_chunks = max(1, -(-args.games // chunk))
+    expected = [f"i{i}-j{j}-c{ci}"
+                for i in range(k) for j in range(i + 1, k)
+                for ci in range(n_chunks)]
+    ledger = faulttol.supervise(
+        child, state_file, expected_chunks=expected,
+        max_retries=args.retries, child_timeout_s=args.child_timeout,
+        cpu_probe=args.cpu,
+    )
+    wins = [[0.0] * k for _ in range(k)]
+    games = [[0] * k for _ in range(k)]
+    truncated = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            aw = sum(ledger[f"i{i}-j{j}-c{ci}"]["aw"] for ci in range(n_chunks))
+            bw = sum(ledger[f"i{i}-j{j}-c{ci}"]["bw"] for ci in range(n_chunks))
+            tie = sum(ledger[f"i{i}-j{j}-c{ci}"]["tie"] for ci in range(n_chunks))
+            truncated += sum(
+                ledger[f"i{i}-j{j}-c{ci}"]["trunc"] for ci in range(n_chunks))
+            total = aw + bw + tie
+            wins[i][j] += aw + 0.5 * tie
+            wins[j][i] += bw + 0.5 * tie
+            games[i][j] += total
+            games[j][i] += total
+    _report(args, names, wins, games, truncated)
 
 
 def _report(args, names, wins, games, truncated):

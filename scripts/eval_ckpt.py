@@ -12,11 +12,23 @@ Usage:
       --board 13 --sims 32 --games 128
   # head-to-head between two checkpoints:
   timeout 1500 python scripts/eval_ckpt.py --ckpt A.npz --opp-ckpt B.npz ...
+
+Fault tolerance (--retries N, default 2): the TPU worker has kernel-
+faulted mid-eval three times across rounds 3-4, at batch sizes as small
+as 128 games.  With retries on, this process becomes a light supervisor
+(no jax import): it runs itself as a child with a per-chunk JSONL ledger
+(--state-file), and when the child dies it waits out the tunnel wedge
+(device probe in a fresh subprocess) and relaunches — completed chunks
+are never replayed, so one flake costs one chunk plus a recompile.
+Chunk RNG is keyed by chunk index (fold_in), so redone chunks play the
+exact same games.  --retries 0 = the bare single-process path.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
+import math
 import os
 import sys
 
@@ -65,7 +77,22 @@ def main():
     ap.add_argument("--komi", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="max child relaunches after a worker crash; "
+                         "0 = run bare in this process (child mode)")
+    ap.add_argument("--state-file", default="",
+                    help="JSONL chunk ledger; auto-derived under logs/ "
+                         "when --retries > 0 and unset")
+    ap.add_argument("--child-timeout", type=float, default=5400.0,
+                    help="supervisor kills a child attempt after this "
+                         "many seconds (hang protection)")
     args = ap.parse_args()
+
+    n_chunks = max(1, math.ceil(args.games / min(args.chunk, args.games)))
+
+    if args.retries > 0:
+        _supervise(args, n_chunks)
+        return
 
     import jax
 
@@ -116,26 +143,84 @@ def main():
                           max_steps=max_steps,
                           opening_moves=args.opening_moves)
 
+    from gymgo_tpu.utils import faulttol
+
+    ledger = faulttol.load_ledger(args.state_file)
     wins = losses = ties = unfinished = 0
-    remaining = args.games
-    ci = 0
-    while remaining > 0:
-        res = run_chunk(jax.random.fold_in(
-            jax.random.PRNGKey(args.seed), ci))
-        wins += int(res.policy_a_wins)
-        losses += int(res.policy_b_wins)
-        ties += int(res.ties)
-        unfinished += int(res.unfinished)
-        remaining -= chunk
-        ci += 1
-        if args.games > chunk:
-            print(f"  chunk {ci}: cumulative {wins}W/{losses}L/{ties}T "
+    for ci in range(n_chunks):
+        rec = ledger.get(str(ci))
+        if rec is None:
+            res = run_chunk(jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), ci))
+            rec = {"wins": int(res.policy_a_wins),
+                   "losses": int(res.policy_b_wins),
+                   "ties": int(res.ties),
+                   "unfinished": int(res.unfinished)}
+            if args.state_file:
+                faulttol.append_chunk(args.state_file, str(ci), rec)
+        wins += rec["wins"]
+        losses += rec["losses"]
+        ties += rec["ties"]
+        unfinished += rec["unfinished"]
+        if n_chunks > 1:
+            print(f"  chunk {ci + 1}/{n_chunks}: cumulative "
+                  f"{wins}W/{losses}L/{ties}T "
                   f"({unfinished} unfinished)", flush=True)
+    _report(args, b_name, wins, losses, ties, unfinished)
+
+
+def _report(args, b_name, wins, losses, ties, unfinished):
     finished = max(wins + losses + ties, 1)
     print(f"{args.ckpt} (gumbel-{args.sims}"
           + (f", open-{args.opening_moves}" if args.opening_moves else "")
           + f") vs {b_name}: {wins}W/{losses}L/{ties}T, "
           f"{unfinished} unfinished, winrate={wins / finished:.3f}")
+
+
+def _supervise(args, n_chunks):
+    """Run this script as a supervised child (see module docstring).
+
+    Deliberately imports no jax here — a wedged tunnel must not be able
+    to hang the supervisor."""
+    from gymgo_tpu.utils import faulttol
+
+    state_file = args.state_file
+    if not state_file:
+        tag = hashlib.sha1(" ".join(sys.argv[1:]).encode()).hexdigest()[:12]
+        os.makedirs("logs", exist_ok=True)
+        state_file = f"logs/evalstate_{tag}.jsonl"
+    prior = faulttol.load_ledger(state_file)
+    if prior:
+        print(f"[eval] resuming: {len(prior)} completed chunk(s) in "
+              f"{state_file}", flush=True)
+
+    child = [sys.executable, os.path.abspath(__file__)]
+    skip_next = False
+    for a in sys.argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a in ("--retries", "--state-file"):
+            skip_next = True
+            continue
+        if a.startswith(("--retries=", "--state-file=")):
+            continue
+        child.append(a)
+    child += ["--retries", "0", "--state-file", state_file]
+
+    ledger = faulttol.supervise(
+        child, state_file,
+        expected_chunks=[str(i) for i in range(n_chunks)],
+        max_retries=args.retries,
+        child_timeout_s=args.child_timeout,
+        cpu_probe=args.cpu,
+    )
+    wins = sum(ledger[str(i)]["wins"] for i in range(n_chunks))
+    losses = sum(ledger[str(i)]["losses"] for i in range(n_chunks))
+    ties = sum(ledger[str(i)]["ties"] for i in range(n_chunks))
+    unfinished = sum(ledger[str(i)]["unfinished"] for i in range(n_chunks))
+    _report(args, args.opp_ckpt or "uniform-random",
+            wins, losses, ties, unfinished)
 
 
 if __name__ == "__main__":

@@ -43,8 +43,10 @@ def main():
     ap.add_argument("--iteration", type=int, required=True,
                     help="iteration counter for the resumed line")
     ap.add_argument("--lr", type=float, default=1e-3,
-                    help="must match the lr the resumed run will use "
-                         "(fixes the fresh optimizer tree's hyperparams)")
+                    help="only shapes the saved optimizer tree's "
+                         "structure; the EFFECTIVE lr comes from the "
+                         "resuming train.py's own --lr (adamw opt_state "
+                         "stores no learning rate)")
     ap.add_argument("--replay-capacity", type=int, default=1 << 16)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
