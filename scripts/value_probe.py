@@ -13,6 +13,17 @@ agreement between prediction and the true Trump-Taylor winner.
 
 Usage: python scripts/value_probe.py --ckpt checkpoints/az13_seg2.npz \
           --board 13 [--cpu]
+
+In-distribution mode (--replay-from TREE.npz): instead of random-game
+terminal boards (out-of-distribution for a trained net), probe the value
+head on GROUNDED rows of a train.py resume tree's replay buffer — real
+self-play positions whose stored value target is an actual +-1 game
+outcome (vmask on), in exactly the learner's frame (canonical obs,
+mover-perspective value).  This is the probe the round-4 verdict asked
+for: "the head is healthy" should rest on in-distribution positions,
+not only random boards.  --ckpt may be the same tree or any params
+artifact of the same architecture (e.g. probe an older net on the
+current line's replay).
 """
 
 from __future__ import annotations
@@ -34,6 +45,12 @@ def main():
     ap.add_argument("--blocks", type=int, default=3)
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--komi", type=float, default=0.0)
+    ap.add_argument("--replay-from", default="",
+                    help="train.py checkpoint tree: probe on its replay "
+                         "buffer's grounded rows (in-distribution) "
+                         "instead of random-game terminal boards")
+    ap.add_argument("--max-rows", type=int, default=8192,
+                    help="--replay-from: cap on probed grounded rows")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +75,10 @@ def main():
     net = AZNet(netcfg)
     tmpl = {"params": init_params(jax.random.PRNGKey(0), netcfg)}
     params = ckpt.restore_npz(args.ckpt, tmpl)["params"]
+
+    if args.replay_from:
+        _replay_probe(args, net, params)
+        return
 
     # Random games frozen at their ends (no auto-reset): final boards carry
     # ground-truth outcomes; 85%-length replays give near-final boards.
@@ -87,6 +108,55 @@ def main():
         print("VERDICT: healthy (non-constant, tracks outcomes)")
     else:
         print("VERDICT: non-constant but weakly grounded — inspect further")
+
+
+def _replay_probe(args, net, params):
+    """Probe on grounded replay rows, in the learner's exact frame."""
+    import jax
+    import numpy as np
+
+    from gymgo_tpu.rl import ReplayBuffer
+    from gymgo_tpu.utils import checkpoint as ckpt
+
+    raw = np.load(args.replay_from)
+    # ReplayState leaf order: obs, policy, value, mask, vmask, cursor, filled
+    capacity = raw["buf::0"].shape[0]
+    buf_tmpl = ReplayBuffer(capacity, args.board).init()
+    buf = ckpt.restore_npz(args.replay_from, {"buf": buf_tmpl})["buf"]
+
+    obs = np.asarray(buf.obs)
+    target = np.asarray(buf.value)
+    filled = int(buf.filled)
+    live = np.zeros(capacity, bool)
+    live[:filled] = True
+    grounded = live & np.asarray(buf.mask) & np.asarray(buf.vmask)
+    idx = np.flatnonzero(grounded)
+    if idx.size == 0:
+        print("no grounded rows in the replay window (fresh re-seeded "
+              "tree?) — nothing to probe")
+        return
+    if idx.size > args.max_rows:
+        idx = np.random.default_rng(0).choice(idx, args.max_rows,
+                                              replace=False)
+    fwd = jax.jit(lambda p, o: net.apply(p, o)[1])
+    preds = []
+    for s in range(0, idx.size, 1024):
+        chunk = obs[idx[s:s + 1024]]
+        preds.append(np.asarray(fwd(params, chunk)))
+    v = np.concatenate(preds)
+    t = target[idx[:v.size]]
+    dec = t != 0  # grounded targets are +-1; 0 = tie (rare)
+    agree = (np.mean(np.sign(v[dec]) == np.sign(t[dec]))
+             if dec.any() else float("nan"))
+    print(f"replay grounded rows: n={idx.size} of {filled} filled  "
+          f"value std={v.std():.4f}  mean|v|={np.abs(v).mean():.4f}  "
+          f"sign-agreement with stored outcome={agree:.3f}")
+    if v.std() < 1e-3:
+        print("VERDICT: COLLAPSED (constant value head)")
+    elif agree > 0.75:
+        print("VERDICT: healthy in-distribution (tracks self-play outcomes)")
+    else:
+        print("VERDICT: non-constant but weakly grounded in-distribution")
 
 
 if __name__ == "__main__":
