@@ -93,16 +93,22 @@ class SGFGame(NamedTuple):
     setup_white: tuple = ()  # root AW setup stones (flat actions)
     handicap: int = 0  # HA property (informational)
     first_to_move: str = "B"  # color to move from the setup position
+    has_variations: bool = False  # record held variation subtrees; the
+    # moves list is the MAIN line (first branch at every fork)
 
 
 class SGFError(ValueError):
     pass
 
 
-def _parse_nodes(text: str) -> List[dict]:
-    """Minimal SGF recursive-descent parse; returns the MAIN LINE nodes
-    (first branch at every variation point) as {prop: [values]} dicts.
-    Handles '\\]' escapes inside property values."""
+def _parse_forest(text: str) -> List[tuple]:
+    """Minimal SGF recursive-descent parse of a file, which per the spec
+    is a COLLECTION of one or more top-level gametrees.  Returns
+    ``[(nodes, has_variations), ...]`` — one entry per game, where
+    ``nodes`` is the MAIN LINE (first branch at every variation point) as
+    {prop: [values]} dicts.  Handles '\\]' escapes inside property
+    values.  Trailing non-whitespace after the last gametree is an
+    error (truncated/concatenated-garbage records fail loudly)."""
     i = 0
     n = len(text)
 
@@ -116,6 +122,7 @@ def _parse_nodes(text: str) -> List[dict]:
         raise SGFError("SGF must start with '('")
 
     nodes: List[dict] = []
+    saw_variation = [False]
 
     def parse_value(j):
         # at '[': scan to unescaped ']'
@@ -163,6 +170,9 @@ def _parse_nodes(text: str) -> List[dict]:
                         j = skip_ws(j)
                     node[prop] = vals
             elif ch == "(":
+                if not first_subtree:
+                    # second+ subtree of this node sequence = a variation
+                    saw_variation[0] = True
                 j = parse_sequence(j + 1, keep and first_subtree)
                 first_subtree = False
             elif ch == ")":
@@ -173,10 +183,20 @@ def _parse_nodes(text: str) -> List[dict]:
                 raise SGFError(f"unexpected character {ch!r} at {j}")
         raise SGFError("unterminated gametree")
 
-    parse_sequence(i + 1, True)
-    if not nodes:
-        raise SGFError("empty SGF")
-    return nodes
+    forest: List[tuple] = []
+    while i < n and text[i] == "(":
+        nodes = []
+        saw_variation[0] = False
+        i = parse_sequence(i + 1, True)
+        if not nodes:
+            raise SGFError("empty SGF gametree")
+        forest.append((nodes, saw_variation[0]))
+        i = skip_ws(i)
+    if i < n:
+        raise SGFError(
+            f"trailing content after gametree at offset {i}: {text[i:i+20]!r}"
+        )
+    return forest
 
 
 def _coord_to_action(value: str, board_size: int) -> int:
@@ -218,13 +238,31 @@ def parse_sgf(text: str) -> SGFGame:
     setup stones).
 
     Supported: FF[3]/FF[4] single- or multi-node records (incl. FF[3] long
-    property names), variations (main line taken), escaped values and
-    comments, pass as ``[]`` or ``[tt]``, ROOT-node handicap/setup stones
-    AB/AW (incl. compressed point lists) with the HA property.  Rejected
-    with a clear error: rectangular/oversized boards, AE erasure, and
-    mid-game setup stones — the engine replays legal games only.
+    property names), variations (main line taken, flagged on
+    ``SGFGame.has_variations``), escaped values and comments, pass as
+    ``[]`` or ``[tt]``, ROOT-node handicap/setup stones AB/AW (incl.
+    compressed point lists) with the HA property.  Rejected with a clear
+    error: rectangular/oversized boards, AE erasure, mid-game setup
+    stones (the engine replays legal games only), and multi-game
+    collections — use :func:`parse_sgf_collection` for those.
     """
-    nodes = _parse_nodes(text)
+    forest = _parse_forest(text)
+    if len(forest) > 1:
+        raise SGFError(
+            f"SGF holds a collection of {len(forest)} games; use "
+            f"parse_sgf_collection() to read them all"
+        )
+    return _game_from_nodes(*forest[0])
+
+
+def parse_sgf_collection(text: str) -> List[SGFGame]:
+    """Parse a multi-game SGF collection file -> list of SGFGame (the
+    SGF spec allows any number of top-level gametrees per file)."""
+    return [_game_from_nodes(nodes, has_var)
+            for nodes, has_var in _parse_forest(text)]
+
+
+def _game_from_nodes(nodes: List[dict], has_variations: bool) -> SGFGame:
     root = nodes[0]
     raw_sz = root.get("SZ", ["19"])[0] or "19"
     if ":" in raw_sz:
@@ -266,7 +304,8 @@ def parse_sgf(text: str) -> SGFGame:
         first = "W" if setup_black and not setup_white else "B"
     return SGFGame(board_size=size, komi=komi, moves=moves, result=result,
                    setup_black=setup_black, setup_white=setup_white,
-                   handicap=handicap, first_to_move=first)
+                   handicap=handicap, first_to_move=first,
+                   has_variations=has_variations)
 
 
 def setup_state(game: SGFGame):

@@ -244,3 +244,70 @@ def test_sgf_real_format_fixture():
     assert game.first_to_move == "W" and game.moves[0][0] == "W"
     assert len(game.moves) == 48  # main line only; the variation is skipped
     assert states[-1][govars.DONE_CHNL].sum() == 0
+
+
+def test_sgf_variations_flagged_and_main_line_taken():
+    """Variation subtrees: main line taken, presence flagged loudly on
+    SGFGame.has_variations (round-4 VERDICT item 8)."""
+    from gymgo_tpu.utils import sgf
+
+    g = sgf.parse_sgf("(;SZ[5];B[aa](;W[ba];B[ca])(;W[bb]))")
+    assert g.has_variations
+    assert g.moves == [("B", 0), ("W", 1), ("B", 2)]  # first branch
+    g2 = sgf.parse_sgf("(;SZ[5];B[aa];W[ba])")
+    assert not g2.has_variations
+    # nested continuation without a second branch is NOT a variation
+    g3 = sgf.parse_sgf("(;SZ[5];B[aa](;W[ba];B[ca]))")
+    assert not g3.has_variations
+
+
+def test_sgf_collection_api():
+    """Multi-game collections: parse_sgf rejects with a pointer to the
+    list API; parse_sgf_collection reads every game."""
+    import os
+
+    import pytest
+
+    from gymgo_tpu.utils import sgf
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "collection_two_games.sgf")
+    with open(path) as f:
+        text = f.read()
+    with pytest.raises(sgf.SGFError, match="collection of 2 games"):
+        sgf.parse_sgf(text)
+    games = sgf.parse_sgf_collection(text)
+    assert len(games) == 2
+    g1, g2 = games
+    assert g1.board_size == 5 and g1.komi == 0.5 and g1.result == "B+2.5"
+    assert g1.has_variations
+    assert g1.moves == [("B", 12), ("W", 6), ("B", 11), ("W", 7), ("B", 8)]
+    assert g2.board_size == 9 and g2.komi == 6.5 and g2.result == "W+R"
+    assert not g2.has_variations
+    assert len(g2.moves) == 4
+    # each game replays legally through the engine
+    # (replay_sgf wants a single record, so re-serialize per game)
+    # single-game parse of each still works through the collection API only
+    # trailing garbage after the last tree fails loudly
+    with pytest.raises(sgf.SGFError, match="trailing content"):
+        sgf.parse_sgf_collection("(;SZ[5];B[aa]) junk")
+    with pytest.raises(sgf.SGFError, match="trailing content"):
+        sgf.parse_sgf("(;SZ[5];B[aa]) ;W[bb]")
+
+
+def test_sgf_collection_games_replay():
+    """Games from a collection replay through the engine via a per-game
+    re-serialization (the strict-legality path)."""
+    import os
+
+    from gymgo_tpu.utils import sgf
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "collection_two_games.sgf")
+    with open(path) as f:
+        games = sgf.parse_sgf_collection(f.read())
+    for g in games:
+        text = sgf.game_to_sgf([a for _c, a in g.moves], g.board_size,
+                               komi=g.komi)
+        _game, states = sgf.replay_sgf(text)
+        assert len(states) == len(g.moves) + 1
