@@ -272,7 +272,8 @@ class GTPEngine:
 
         try:
             with open(args[0]) as f:
-                game = _sgf.parse_sgf(f.read())
+                # collection files: GTP has one board, load the first game
+                game = _sgf.parse_sgf_collection(f.read())[0]
             start = _sgf.setup_state(game)
         except (OSError, _sgf.SGFError):
             return self._fmt(cmd_id, "cannot load file", True), True, False

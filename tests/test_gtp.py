@@ -209,6 +209,14 @@ def test_loadsgf():
     # loadsgf is advertised
     assert "loadsgf" in _ok(eng2.handle("list_commands")[0])
 
+    # a multi-game collection file loads its FIRST game (one GTP board)
+    cpath = os.path.join(os.path.dirname(__file__), "fixtures",
+                         "collection_two_games.sgf")
+    eng3 = GTPEngine(19, komi=0.0, seed=0)
+    _ok(eng3.handle(f"loadsgf {cpath}")[0])
+    assert eng3.n == 5 and eng3.komi == 0.5
+    assert len(eng3.moves) == 5  # game 1's main line, variation pruned
+
 
 def test_fixed_handicap():
     from gymgo_tpu import govars
