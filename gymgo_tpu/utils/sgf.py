@@ -79,6 +79,13 @@ def save_sgf(path: str, sgf: str) -> None:
         f.write(sgf)
 
 
+def save_sgf_collection(path: str, games: Sequence[str]) -> None:
+    """Write several game records as one SGF collection file (the spec's
+    multi-gametree form; read back with :func:`parse_sgf_collection`)."""
+    with open(path, "w") as f:
+        f.write("\n".join(games) + "\n")
+
+
 # ---------------------------------------------------------------------------
 # Import: SGF text -> actions -> replayed states
 # ---------------------------------------------------------------------------

@@ -311,3 +311,25 @@ def test_sgf_collection_games_replay():
                                komi=g.komi)
         _game, states = sgf.replay_sgf(text)
         assert len(states) == len(g.moves) + 1
+
+
+def test_sgf_collection_export_roundtrip(tmp_path):
+    """rollout -> per-game records -> one collection file -> parse back."""
+    import jax
+
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.state import batch_init_state
+    from gymgo_tpu.env.batch_env import rollout
+    from gymgo_tpu.utils import sgf
+
+    cfg = EnvConfig(board_size=5, batch_size=8, auto_reset=True)
+    r = rollout(jax.random.PRNGKey(11), batch_init_state(8, 5), 120, cfg)
+    games = sgf.rollout_to_sgf_games(r.actions, r.dones, 5, komi=0.5)
+    assert len(games) >= 2
+    path = str(tmp_path / "collection.sgf")
+    sgf.save_sgf_collection(path, games)
+    with open(path) as f:
+        parsed = sgf.parse_sgf_collection(f.read())
+    assert len(parsed) == len(games)
+    for g in parsed:
+        assert g.board_size == 5 and g.komi == 0.5
