@@ -2,9 +2,10 @@
 # Round-5 flagship proof chain, serialized TPU jobs (run when the chip is
 # free, after the 830->950 training segment lands):
 #   1. export iter-950 params artifact (guarded by iteration check)
-#   2. iter-830 vs iter-780 h2h     — the pending round-4 deliverable
-#   3. iter-950 vs iter-830 h2h     — the new ladder rung
-#   4. iter-950 vs uniform-random   — absolute yardstick
+#   2. iter-950 vs iter-830 h2h     — the new ladder rung
+#   3. iter-950 vs uniform-random   — absolute yardstick
+# (The pending iter-830 vs iter-780 h2h runs separately first, via
+# scripts/round5_continuation_evals.sh — not duplicated here.)
 # All evals run under the fault-tolerant supervisor (--retries 2,
 # --chunk 64): a TPU kernel fault costs one chunk, not the eval.
 set -ex
@@ -21,12 +22,6 @@ timeout 600 python scripts/export_params.py \
     --ckpt checkpoints/az19_big.npz \
     --out artifacts/az19_big128x6_iter950_params.npz --board 19 \
     --channels 128 --blocks 6
-
-timeout 7200 python scripts/eval_ckpt.py \
-    --ckpt artifacts/az19_big128x6_iter830_params.npz --channels 128 --blocks 6 \
-    --opp-ckpt artifacts/az19_big128x6_params.npz --opp-channels 128 --opp-blocks 6 \
-    --board 19 --sims 32 --gumbel-m 16 --games 128 --opening-moves 6 \
-    --chunk 64 --retries 2 2>&1 | tail -8
 
 timeout 7200 python scripts/eval_ckpt.py \
     --ckpt artifacts/az19_big128x6_iter950_params.npz --channels 128 --blocks 6 \
