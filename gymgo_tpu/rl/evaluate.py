@@ -27,6 +27,16 @@ class MatchResult(NamedTuple):
     ties: jax.Array  # int32 scalar
     unfinished: jax.Array  # int32 scalar (hit max_steps)
     a_winrate: jax.Array  # f32 scalar over finished games
+    # area-adjudicated tallies over ALL games: unfinished games are scored
+    # by Trump-Taylor area (minus komi) at the move cap — the standard
+    # adjudication when two near-equal nets pad past the cap (the 19x19
+    # iter-830 vs iter-780 match left 68/128 games unfinished; dropping
+    # them throws away half the signal).  For finished games the area sign
+    # IS the game result, so scored == finished tallies + adjudicated rest.
+    a_scored_wins: jax.Array  # int32 scalar
+    b_scored_wins: jax.Array  # int32 scalar
+    scored_ties: jax.Array  # int32 scalar
+    a_scored_winrate: jax.Array  # f32 scalar over all games
 
 
 def play_match(
@@ -93,12 +103,19 @@ def play_match(
     ties = jnp.sum((done & (a_sign == 0)).astype(jnp.int32))
     unfinished = jnp.sum((~done).astype(jnp.int32))
     finished = jnp.maximum(a_wins + b_wins + ties, 1)
+    a_scored = jnp.sum((a_sign > 0).astype(jnp.int32))
+    b_scored = jnp.sum((a_sign < 0).astype(jnp.int32))
+    scored_ties = jnp.sum((a_sign == 0).astype(jnp.int32))
     result = MatchResult(
         policy_a_wins=a_wins,
         policy_b_wins=b_wins,
         ties=ties,
         unfinished=unfinished,
         a_winrate=a_wins.astype(jnp.float32) / finished,
+        a_scored_wins=a_scored,
+        b_scored_wins=b_scored,
+        scored_ties=scored_ties,
+        a_scored_winrate=a_scored.astype(jnp.float32) / num_games,
     )
     if with_states:
         return result, final_states

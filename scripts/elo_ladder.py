@@ -241,10 +241,14 @@ def _batched_round_robin(args, names, specs):
                         jax.random.fold_in(
                             jax.random.PRNGKey(args.seed), i), j), ci)
                     res = match(sub, pa, pb, sa, sb)
-                    rec = {"aw": int(res.policy_a_wins),
-                           "bw": int(res.policy_b_wins),
-                           # truncation = tie, as in the GTP path
-                           "tie": int(res.ties) + int(res.unfinished),
+                    # truncated games are adjudicated by Trump-Taylor
+                    # area at the move cap (rl/evaluate.py scored
+                    # tallies) — between near-equal nets over half the
+                    # games can truncate, and counting them as ties
+                    # compresses real rating gaps
+                    rec = {"aw": int(res.a_scored_wins),
+                           "bw": int(res.b_scored_wins),
+                           "tie": int(res.scored_ties),
                            "trunc": int(res.unfinished)}
                     if args.state_file:
                         faulttol.append_chunk(args.state_file, ck, rec)

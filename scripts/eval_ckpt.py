@@ -147,6 +147,7 @@ def main():
 
     ledger = faulttol.load_ledger(args.state_file)
     wins = losses = ties = unfinished = 0
+    swins = slosses = 0
     for ci in range(n_chunks):
         rec = ledger.get(str(ci))
         if rec is None:
@@ -155,26 +156,39 @@ def main():
             rec = {"wins": int(res.policy_a_wins),
                    "losses": int(res.policy_b_wins),
                    "ties": int(res.ties),
-                   "unfinished": int(res.unfinished)}
+                   "unfinished": int(res.unfinished),
+                   "scored_wins": int(res.a_scored_wins),
+                   "scored_losses": int(res.b_scored_wins)}
             if args.state_file:
                 faulttol.append_chunk(args.state_file, str(ci), rec)
         wins += rec["wins"]
         losses += rec["losses"]
         ties += rec["ties"]
         unfinished += rec["unfinished"]
+        # ledgers written before area adjudication lack the scored fields;
+        # fall back to finished-games tallies for those chunks
+        swins += rec.get("scored_wins", rec["wins"])
+        slosses += rec.get("scored_losses", rec["losses"])
         if n_chunks > 1:
             print(f"  chunk {ci + 1}/{n_chunks}: cumulative "
                   f"{wins}W/{losses}L/{ties}T "
                   f"({unfinished} unfinished)", flush=True)
-    _report(args, b_name, wins, losses, ties, unfinished)
+    _report(args, b_name, wins, losses, ties, unfinished, swins, slosses)
 
 
-def _report(args, b_name, wins, losses, ties, unfinished):
+def _report(args, b_name, wins, losses, ties, unfinished,
+            scored_wins=None, scored_losses=None):
     finished = max(wins + losses + ties, 1)
-    print(f"{args.ckpt} (gumbel-{args.sims}"
-          + (f", open-{args.opening_moves}" if args.opening_moves else "")
-          + f") vs {b_name}: {wins}W/{losses}L/{ties}T, "
-          f"{unfinished} unfinished, winrate={wins / finished:.3f}")
+    line = (f"{args.ckpt} (gumbel-{args.sims}"
+            + (f", open-{args.opening_moves}" if args.opening_moves else "")
+            + f") vs {b_name}: {wins}W/{losses}L/{ties}T, "
+            f"{unfinished} unfinished, winrate={wins / finished:.3f}")
+    if unfinished and scored_wins is not None:
+        # unfinished games adjudicated by Trump-Taylor area at the cap
+        total = wins + losses + ties + unfinished
+        line += (f"; area-adjudicated {scored_wins}W/{scored_losses}L, "
+                 f"winrate={scored_wins / max(total, 1):.3f}")
+    print(line)
 
 
 def _supervise(args, n_chunks):
@@ -219,8 +233,13 @@ def _supervise(args, n_chunks):
     losses = sum(ledger[str(i)]["losses"] for i in range(n_chunks))
     ties = sum(ledger[str(i)]["ties"] for i in range(n_chunks))
     unfinished = sum(ledger[str(i)]["unfinished"] for i in range(n_chunks))
+    swins = sum(ledger[str(i)].get("scored_wins", ledger[str(i)]["wins"])
+                for i in range(n_chunks))
+    slosses = sum(ledger[str(i)].get("scored_losses",
+                                     ledger[str(i)]["losses"])
+                  for i in range(n_chunks))
     _report(args, args.opp_ckpt or "uniform-random",
-            wins, losses, ties, unfinished)
+            wins, losses, ties, unfinished, swins, slosses)
 
 
 if __name__ == "__main__":

@@ -163,8 +163,10 @@ def test_eval_ckpt_cli_survives_injected_worker_kill(tmp_path):
 
     led_a = faulttol.load_ledger(str(tmp_path / "crashed.jsonl"))
     led_b = faulttol.load_ledger(str(tmp_path / "clean.jsonl"))
+    fields = ("wins", "losses", "ties", "unfinished",
+              "scored_wins", "scored_losses")
     for k in ("0", "1"):
-        a = {f: led_a[k][f] for f in ("wins", "losses", "ties", "unfinished")}
-        b = {f: led_b[k][f] for f in ("wins", "losses", "ties", "unfinished")}
+        a = {f: led_a[k][f] for f in fields}
+        b = {f: led_b[k][f] for f in fields}
         assert a == b, (k, a, b)
     assert "winrate=" in out_crashed and "winrate=" in out_clean

@@ -311,6 +311,37 @@ def test_match_play_random_vs_random():
     assert total + int(res.unfinished) == 16
     assert total >= 12  # random 5x5 games nearly always finish in 120 moves
     assert 0.0 <= float(res.a_winrate) <= 1.0
+    # area adjudication covers ALL games: finished games keep their result,
+    # unfinished ones are scored by area, so scored tallies dominate the
+    # finished ones componentwise and sum to the full match size
+    assert (int(res.a_scored_wins) + int(res.b_scored_wins)
+            + int(res.scored_ties)) == 16
+    assert int(res.a_scored_wins) >= int(res.policy_a_wins)
+    assert int(res.b_scored_wins) >= int(res.policy_b_wins)
+    assert int(res.scored_ties) >= int(res.ties)
+
+
+def test_match_play_area_adjudication_matches_finished_results():
+    """With a move cap generous enough that every game finishes, the
+    adjudicated tallies must EQUAL the finished-game tallies (for a done
+    board the area sign is the game result)."""
+    from gymgo_tpu.config import EnvConfig
+    from gymgo_tpu.core.actions import uniform_random_actions
+    from gymgo_tpu.rl import play_match
+
+    cfg = EnvConfig(board_size=5, batch_size=16)
+    res = jax.jit(
+        lambda k: play_match(
+            k, uniform_random_actions, uniform_random_actions, cfg,
+            num_games=16, max_steps=400,
+        )
+    )(jax.random.PRNGKey(3))
+    assert int(res.unfinished) == 0
+    assert int(res.a_scored_wins) == int(res.policy_a_wins)
+    assert int(res.b_scored_wins) == int(res.policy_b_wins)
+    assert int(res.scored_ties) == int(res.ties)
+    assert float(res.a_scored_winrate) == pytest.approx(
+        int(res.policy_a_wins) / 16)
 
 
 def test_match_play_search_beats_random():
