@@ -398,10 +398,15 @@ def main():
         if args.eval_every and (it + 1) % args.eval_every == 0:
             key, ev_key = jax.random.split(key)
             res = eval_match(ev_key, train_state.params)
+            extra = ""
+            if int(res.unfinished):
+                extra = (f", area-adjudicated="
+                         f"{float(res.a_scored_winrate):.2f}")
             print(
                 f"  eval vs random: winrate={float(res.a_winrate):.2f} "
                 f"({int(res.policy_a_wins)}W/{int(res.policy_b_wins)}L/"
-                f"{int(res.ties)}T, {int(res.unfinished)} unfinished)",
+                f"{int(res.ties)}T, {int(res.unfinished)} unfinished"
+                f"{extra})",
                 flush=True,
             )
         due = lambda every: every and (it + 1) % every == 0
