@@ -33,3 +33,9 @@ timeout 5400 python scripts/eval_ckpt.py \
     --ckpt artifacts/az19_big128x6_iter950_params.npz --channels 128 --blocks 6 \
     --board 19 --sims 32 --gumbel-m 16 --games 128 \
     --chunk 64 --retries 2 2>&1 | tail -6
+
+# in-distribution value-head health at iter-950: the just-finished tree's
+# replay is full of current-policy grounded rows
+timeout 1800 python scripts/value_probe.py \
+    --ckpt checkpoints/az19_big.npz --channels 128 --blocks 6 --board 19 \
+    --replay-from checkpoints/az19_big.npz 2>&1 | tail -3
