@@ -35,3 +35,9 @@ timeout 7200 python scripts/elo_ladder.py --boardsize 13 --batched \
     --player new100=net:artifacts/az13_r5_iter100_params.npz:32 \
     --player new150=net:artifacts/az13_r5_iter150_params.npz:32 \
     2>&1 | tail -30
+
+# value-head health for the new line, in-distribution + OOD
+timeout 1200 python scripts/value_probe.py --ckpt checkpoints/az13_r5.npz \
+    --replay-from checkpoints/az13_r5.npz --board 13 2>&1 | tail -3
+timeout 1200 python scripts/value_probe.py --ckpt checkpoints/az13_r5.npz \
+    --board 13 2>&1 | tail -3
