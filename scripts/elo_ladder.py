@@ -346,7 +346,10 @@ def _report(args, names, wins, games, truncated):
         )
         print(f"{names[i]:>10} | {row}")
     if truncated:
-        print(f"\ntruncated games (scored as ties): {truncated}")
+        # batched path: adjudicated by area at the cap (rl/evaluate.py
+        # scored tallies); GTP path: counted as ties
+        print(f"\ntruncated games (area-adjudicated in batched mode): "
+              f"{truncated}")
 
 
 if __name__ == "__main__":
